@@ -1,0 +1,99 @@
+"""Render CLI — the ``akari`` equivalent (ref: src/akari/cmd/akari.cpp:41-102).
+
+Usage: python -m akari_tpu.cli.render -i scene.akari [-o out.png] [--spp N]
+       [--intersector bvh|brute|pallas] [--ao] [-v]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="akari-render")
+    ap.add_argument("-i", "--input", required=True, help="scene .akari file")
+    ap.add_argument("-o", "--output", default=None, help="output image path")
+    ap.add_argument("--spp", type=int, default=None, help="override spp")
+    ap.add_argument("--max-depth", type=int, default=None)
+    ap.add_argument("--intersector", default="bvh",
+                    choices=["bvh", "brute", "pallas"])
+    ap.add_argument("--ao", action="store_true", help="ambient occlusion mode")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sharded", action="store_true",
+                    help="shard rays over all local devices")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ..utils.logger import get_logger, set_verbose
+
+    log = get_logger()
+    if args.verbose:
+        set_verbose(True)
+
+    from ..core.image import write_png
+    from ..integrators.ao import AOConfig, render_ao
+    from ..integrators.path import PathConfig, render
+    from ..scene import sdl
+
+    log.info(f"parsing {args.input}")
+    try:
+        module = sdl.parse_file(args.input)
+    except FileNotFoundError:
+        log.error(f"scene file not found: {args.input}")
+        return 1
+    except sdl.SDLError as e:
+        log.error(f"parse error: {e}")
+        return 1
+    scene_node = module.exports.get("scene")
+    if scene_node is None:
+        log.error("no exported 'scene' found")  # ref: akari.cpp:84-88
+        return 1
+
+    t0 = time.perf_counter()
+    scene = scene_node.compile(intersector=args.intersector)
+    camera = scene_node.camera
+    log.info(
+        f"scene compiled: {scene.n_tris} tris, {scene.n_materials} materials, "
+        f"{scene.bvh.first.shape[0]} BVH nodes ({time.perf_counter() - t0:.2f}s)"
+    )
+
+    import dataclasses
+
+    import jax
+
+    cfg = scene_node.integrator or PathConfig()
+    if args.ao or isinstance(cfg, AOConfig):
+        if not isinstance(cfg, AOConfig):
+            cfg = AOConfig(spp=args.spp or 16)
+        if args.spp:
+            cfg = dataclasses.replace(cfg, spp=args.spp)
+        t0 = time.perf_counter()
+        img = render_ao(scene, camera, cfg, seed=args.seed)
+    else:
+        if args.spp:
+            cfg = dataclasses.replace(cfg, spp=args.spp)
+        if args.max_depth:
+            cfg = dataclasses.replace(cfg, max_depth=args.max_depth)
+        t0 = time.perf_counter()
+        if args.sharded:
+            from ..parallel.mesh import make_ray_mesh
+            from ..parallel.render import render_sharded
+
+            img = render_sharded(scene, camera, cfg, make_ray_mesh(), seed=args.seed)
+        else:
+            img = render(scene, camera, cfg, seed=args.seed)
+    img = jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    rays = cfg.spp * camera.width * camera.height
+    log.info(f"render done took ({dt:.3f}s)  [{rays / dt / 1e6:.2f} Mpaths/s]")
+
+    out = args.output or scene_node.output
+    write_png(out, img)
+    log.info(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,204 @@
+"""Pallas TPU intersection kernels.
+
+The Embree replacement (SURVEY.md §7 hard part #1) — but redesigned for a
+vector machine instead of translating the reference's per-thread stack
+traversal (ref: src/akari/kernel/bvh-accelerator.h:488-547). Mosaic has no
+efficient per-lane row gather from a VMEM table (verified empirically), so
+divergent per-lane BVH walks are a poor fit. Instead:
+
+``intersect_pallas`` — dense *ray-stream* intersection: a (ray_tile x
+tri_tile) grid where each step tests a [128-ray x 128-tri] block with
+branchless Moeller-Trumbore on the VPU, reducing the running closest hit in
+VMEM. Zero divergence, zero gathers, perfectly coalesced DMA: for small and
+mid scenes this runs at compute speed-of-light and is used by the flagship
+Cornell benchmark. Asymptotics for large scenes come from the cluster-skip
+variant (two-level: coarse AABB cull per ray block, then stream surviving
+clusters — see pallas_cluster.py) and the XLA threaded-BVH fallback
+(bvh/traverse.py).
+
+Data layout: rays SoA [N, 8] (rays on sublanes, fields on lanes:
+ox oy oz dx dy dz tmin tmax); tris SoA [16, T] (fields on sublanes:
+v0 e1 e2 x/y/z + pad, tris on lanes). Outputs [N, 4]: t, u, v, prim(bits).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect import HIT_EPS, T_MAX, Hit
+
+RAY_TILE = 128
+TRI_TILE = 128
+_BIG = np.float32(T_MAX)
+
+
+def _pairwise_mt(rays, tris, best_t):
+    """[R,8] rays x [16,T] tris -> per-pair (hit, t, u, v) as [R,T]."""
+    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
+    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+    tmin = rays[:, 6:7]
+    v0x, v0y, v0z = tris[0:1, :], tris[1:2, :], tris[2:3, :]
+    e1x, e1y, e1z = tris[3:4, :], tris[4:5, :], tris[5:6, :]
+    e2x, e2y, e2z = tris[6:7, :], tris[7:8, :], tris[8:9, :]
+
+    # pvec = d x e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < HIT_EPS, 1.0, det)
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # qvec = tvec x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    hit = (
+        (jnp.abs(det) >= HIT_EPS)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > tmin)
+        & (t < best_t)
+    )
+    return hit, t, u, v
+
+
+def _closest_kernel(rays_ref, tris_ref, out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        init = jnp.concatenate(
+            [
+                jnp.full((RAY_TILE, 1), _BIG, jnp.float32),
+                jnp.zeros((RAY_TILE, 2), jnp.float32),
+                jnp.full((RAY_TILE, 1), -1.0, jnp.float32),
+            ],
+            axis=1,
+        )
+        out_ref[:] = init
+
+    rays = rays_ref[:]
+    tris = tris_ref[:]
+    state = out_ref[:]  # [R, 4]: t, u, v, prim
+    best_t = state[:, 0:1]
+    hit, t, u, v = _pairwise_mt(rays, tris, best_t)
+
+    t_m = jnp.where(hit, t, _BIG)
+    tile_best = jnp.min(t_m, axis=1, keepdims=True)  # [R,1]
+    any_hit = tile_best[:, 0] < _BIG
+
+    # first lane achieving the tile best
+    lane = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
+    lane_sel = jnp.min(jnp.where(t_m <= tile_best, lane, TRI_TILE), axis=1)
+    sel = lane == lane_sel[:, None]
+    u_best = jnp.sum(jnp.where(sel, u, 0.0), axis=1)
+    v_best = jnp.sum(jnp.where(sel, v, 0.0), axis=1)
+    prim = (j * TRI_TILE + lane_sel).astype(jnp.float32)
+
+    closer = any_hit & (tile_best[:, 0] < state[:, 0])
+    new_state = jnp.stack(
+        [
+            jnp.where(closer, tile_best[:, 0], state[:, 0]),
+            jnp.where(closer, u_best, state[:, 1]),
+            jnp.where(closer, v_best, state[:, 2]),
+            jnp.where(closer, prim, state[:, 3]),
+        ],
+        axis=1,
+    )
+    out_ref[:] = new_state
+
+
+def _anyhit_kernel(rays_ref, tris_ref, out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rays = rays_ref[:]
+    tris = tris_ref[:]
+    state = out_ref[:]
+    hit, _, _, _ = _pairwise_mt(rays, tris, rays[:, 7:8])
+    any_col = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)  # [R,1]
+    out_ref[:] = jnp.maximum(state, jnp.broadcast_to(any_col, state.shape))
+
+
+def _pack_rays(o, d, t_min, t_max):
+    n = o.shape[0]
+    pad = (-n) % RAY_TILE
+    rays = jnp.concatenate(
+        [o, d, t_min[:, None], t_max[:, None]], axis=1
+    )  # [N, 8]
+    if pad:
+        filler = jnp.zeros((pad, 8), jnp.float32)
+        # degenerate rays: d=0 never hits (det=0)
+        rays = jnp.concatenate([rays, filler], axis=0)
+    return rays, n, pad
+
+
+def pack_tris(tri_v0, tri_e1, tri_e2):
+    """Host/trace-time packing: [T,3] x3 -> [16, Tpad] SoA (lane-major)."""
+    t = tri_v0.shape[0]
+    pad = (-t) % TRI_TILE
+    fields = jnp.concatenate([tri_v0, tri_e1, tri_e2], axis=1).T  # [9, T]
+    fields = jnp.concatenate(
+        [fields, jnp.zeros((7, t), jnp.float32)], axis=0
+    )  # [16, T]
+    if pad:
+        fields = jnp.concatenate(
+            [fields, jnp.zeros((16, pad), jnp.float32)], axis=1
+        )
+    return fields
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit",))
+def _run(rays, tris, any_hit):
+    n_ray_tiles = rays.shape[0] // RAY_TILE
+    n_tri_tiles = tris.shape[1] // TRI_TILE
+    kernel = _anyhit_kernel if any_hit else _closest_kernel
+    out_cols = 4
+    grid = (n_ray_tiles, n_tri_tiles)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (RAY_TILE, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (16, TRI_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (RAY_TILE, out_cols), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rays.shape[0], out_cols), jnp.float32),
+    )(rays, tris)
+
+
+def intersect_pallas(scene, o, d, t_min, t_max, any_hit=False):
+    """Entry used by ops.intersect dispatch (scene.intersector == 'pallas')."""
+    tris = pack_tris(scene.tri_v0, scene.tri_e1, scene.tri_e2)
+    rays, n, pad = _pack_rays(o, d, t_min, t_max)
+    out = _run(rays, tris, any_hit)
+    out = out[:n]
+    if any_hit:
+        return out[:, 0] > 0.5
+    t = out[:, 0]
+    uv = out[:, 1:3]
+    prim_f = out[:, 3]
+    valid = (prim_f >= 0.0) & (t < _BIG)
+    # prim was stored as float (exact for < 2^24 tris)
+    prim = jnp.where(valid, prim_f.astype(jnp.int32), -1)
+    # mask hits on padded triangles (degenerate e2=0 never hit; padding safe)
+    return Hit(jnp.where(valid, t, _BIG), prim, uv, valid)

@@ -1,0 +1,11 @@
+from .arrays import SceneArrays, Camera, make_camera
+from .nodes import (
+    ConstantTexture,
+    ImageTexture,
+    DiffuseMaterial,
+    GlossyMaterial,
+    EmissiveMaterial,
+    MixMaterial,
+    Mesh,
+    Scene,
+)

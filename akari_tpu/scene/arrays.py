@@ -1,0 +1,193 @@
+"""Device scene representation: flat SoA arrays in a pytree.
+
+TPU-first redesign of the reference's pointer-based compiled scene
+(``Scene<C>`` aggregate of BufferViews + Material*/Texture* pointers,
+ref: src/akari/kernel/scene.h:50-91 and nodes/scene.cpp:43-95 compile).
+Every pointer becomes an integer id into a flat table; every AoS buffer
+becomes per-field arrays (the reference generates SoA code with akari-soac —
+here arrays are already SoA, SURVEY.md §7).
+
+The whole ``SceneArrays`` is a JAX pytree: it can be donated to jit,
+replicated across a device mesh, and differentiated (albedo / emission
+gradients flow into ``TextureTable.value`` / ``.images``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+# Material kinds (ref: Material variant, kernel/material.h:249)
+MAT_DIFFUSE = 0
+MAT_GLOSSY = 1
+MAT_EMISSIVE = 2
+MAT_MIX = 3
+
+# Texture kinds (ref: Texture variant, kernel/texture.h:57)
+TEX_CONSTANT = 0
+TEX_IMAGE = 1
+
+# How many nested Mix levels select_material unrolls (ref walks a pointer
+# chain, kernel/material.h:255-271; we unroll a fixed depth).
+MAX_MIX_DEPTH = 4
+
+
+def pytree_dataclass(cls=None, *, meta=()):
+    """Register a dataclass as a JAX pytree with the given static fields."""
+
+    def wrap(c):
+        c = dataclass(c)
+        data_fields = [f.name for f in dataclasses.fields(c) if f.name not in meta]
+        jax.tree_util.register_dataclass(
+            c, data_fields=data_fields, meta_fields=list(meta)
+        )
+        return c
+
+    return wrap(cls) if cls is not None else wrap
+
+
+@pytree_dataclass
+class TextureTable:
+    """All textures in the scene, SoA.
+
+    kind[i] selects constant vs image; ``value`` doubles as the constant RGB
+    and as a multiplier for image textures. Images are padded to a common
+    [Hm, Wm] and stacked (static shapes for XLA).
+    ref: kernel/texture.h:30-66 (ConstantTexture / ImageTexture variant).
+    """
+
+    kind: jax.Array      # [X] int32
+    value: jax.Array     # [X, 3] float32 (constant color / image multiplier)
+    image_id: jax.Array  # [X] int32 (index into images; 0 if unused)
+    images: jax.Array    # [I, Hm, Wm, 3] float32 (at least I=1 dummy)
+    image_sizes: jax.Array  # [I, 2] int32 (h, w actually used)
+
+
+@pytree_dataclass
+class MaterialTable:
+    """All materials, SoA (ref: Material variant, kernel/material.h:249-299).
+
+    kind: MAT_*; color_tex / roughness_tex / fraction_tex are texture ids;
+    mix_a / mix_b are material ids (for MAT_MIX); double_sided for emissive.
+    """
+
+    kind: jax.Array          # [M] int32
+    color_tex: jax.Array     # [M] int32
+    roughness_tex: jax.Array # [M] int32
+    fraction_tex: jax.Array  # [M] int32
+    mix_a: jax.Array         # [M] int32
+    mix_b: jax.Array         # [M] int32
+    double_sided: jax.Array  # [M] bool
+
+
+@pytree_dataclass(meta=("n_lights",))
+class LightTable:
+    """Emissive-triangle area lights + power CDF.
+
+    ref: AreaLight buffer + power Distribution1D built at scene compile
+    (nodes/scene.cpp:55-92, kernel/light.h:47-76).
+    """
+
+    tri_id: jax.Array   # [L] int32 triangle index of each light
+    cdf: jax.Array      # [L+1] float32 power CDF
+    pdf: jax.Array      # [L] float32 selection pmf
+    tri_to_light: jax.Array  # [T] int32 (-1 if triangle is not a light) — for MIS
+    n_lights: int = 0   # static: 0 => no lights (arrays are padded >= 1)
+
+
+@pytree_dataclass
+class BVHArrays:
+    """Threaded (stackless) BVH: DFS-ordered nodes with skip links.
+
+    Redesign of the reference's stack-based two-level SBVH traversal
+    (ref: kernel/bvh-accelerator.h:488-547). A per-lane traversal stack is
+    hostile to vector machines; instead nodes carry an implicit "hit" link
+    (DFS next = node+1) and an explicit ``miss`` link, so per-ray state is a
+    single node pointer and the traversal is a branchless while-loop.
+
+    Triangles are reordered so each leaf's primitives are contiguous:
+    first[i]..first[i]+count[i] index the *reordered* triangle arrays.
+    """
+
+    node_lo: jax.Array  # [N, 3] float32
+    node_hi: jax.Array  # [N, 3] float32
+    first: jax.Array    # [N] int32 (leaf: offset into reordered tris)
+    count: jax.Array    # [N] int32 (0 for inner nodes)
+    miss: jax.Array     # [N] int32 (-1 terminates)
+
+
+@pytree_dataclass(meta=("n_tris", "n_materials", "intersector"))
+class SceneArrays:
+    """The compiled scene. Triangle storage is in BVH-reordered order.
+
+    tri_v0/e1/e2: Moeller-Trumbore-ready vertices (v0, v1-v0, v2-v0).
+    normals/uvs: per-corner shading attributes [T, 3, ...].
+    """
+
+    tri_v0: jax.Array    # [T, 3]
+    tri_e1: jax.Array    # [T, 3]
+    tri_e2: jax.Array    # [T, 3]
+    normals: jax.Array   # [T, 3, 3] per-corner shading normals
+    uvs: jax.Array       # [T, 3, 2]
+    mat_id: jax.Array    # [T] int32
+    materials: MaterialTable
+    textures: TextureTable
+    lights: LightTable
+    bvh: BVHArrays
+    n_tris: int = 0
+    n_materials: int = 0
+    intersector: str = "bvh"  # "brute" | "bvh" | "pallas"
+
+
+@pytree_dataclass(meta=("width", "height", "lens_radius", "focal_distance"))
+class Camera:
+    """Perspective pinhole/thin-lens camera (ref: kernel/camera.h:37-99).
+
+    Looks down local -Z; fov is the vertical field of view in radians
+    (applied to the smaller image dimension like the reference's r2c chain,
+    camera.h:45-61, but with the standard tan(fov/2) plane scale).
+    Lens parameters are static (they gate a trace-time branch).
+    """
+
+    c2w: jax.Array          # [4, 4]
+    tan_half_fov: jax.Array # [] float32
+    width: int = 0
+    height: int = 0
+    lens_radius: float = 0.0
+    focal_distance: float = 0.0
+
+
+def make_camera(c2w, fov_deg, width, height, lens_radius=0.0, focal_distance=0.0):
+    import numpy as np
+
+    return Camera(
+        c2w=np.asarray(c2w, dtype=np.float32),
+        tan_half_fov=np.float32(np.tan(np.radians(fov_deg) / 2.0)),
+        width=int(width),
+        height=int(height),
+        lens_radius=float(lens_radius),
+        focal_distance=float(focal_distance),
+    )
+
+
+def tri_vertices(scene, xp=None):
+    """Recover (p0, p1, p2) [T,3] each from the v0/e1/e2 storage."""
+    v0, e1, e2 = scene.tri_v0, scene.tri_e1, scene.tri_e2
+    return v0, v0 + e1, v0 + e2
+
+
+def tri_geometric_normal(scene):
+    """Unnormalized geometric normal = cross(e1, e2) (winding convention:
+    counter-clockwise front faces, matching ref kernel/shape.h ng())."""
+    from ..core.vecmath import cross
+
+    return cross(scene.tri_e1, scene.tri_e2)
+
+
+def tri_area(scene):
+    from ..core.vecmath import length
+
+    return 0.5 * length(tri_geometric_normal(scene))

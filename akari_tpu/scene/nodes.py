@@ -1,0 +1,379 @@
+"""Host-side scene graph and compile-to-arrays.
+
+Capability parity with the reference's node layer (ref:
+src/akari/core/nodes/scenegraph.h:43-84 Node/commit, nodes/scene.cpp:43-95
+SceneNode::compile, nodes/material.cpp:27-160 material nodes). The
+reference compiles nodes into arena-allocated kernel objects wired by
+pointers; here ``Scene.compile()`` lowers the graph into the flat
+``SceneArrays`` pytree (scene/arrays.py): pointers become integer ids,
+meshes are merged and BVH-reordered, emissive triangles become the light
+table with a power CDF (ref: nodes/scene.cpp:55-92).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..bvh.build import build_bvh
+from ..core.distribution import build_cdf
+from ..core.spectrum import luminance
+from ..core import vecmath as vm
+from .arrays import (
+    BVHArrays,
+    LightTable,
+    MAT_DIFFUSE,
+    MAT_EMISSIVE,
+    MAT_GLOSSY,
+    MAT_MIX,
+    MaterialTable,
+    SceneArrays,
+    TEX_CONSTANT,
+    TEX_IMAGE,
+    TextureTable,
+)
+
+
+# --------------------------------------------------------------------------
+# Texture nodes (ref: kernel/texture.h + nodes/material.cpp resolve_texture)
+# --------------------------------------------------------------------------
+
+@dataclass
+class ConstantTexture:
+    value: tuple  # rgb
+
+    @staticmethod
+    def coerce(v):
+        """Scalar/3-tuple/texture -> texture (ref: material.cpp:73-89)."""
+        if isinstance(v, (ConstantTexture, ImageTexture)):
+            return v
+        if np.isscalar(v):
+            return ConstantTexture((float(v),) * 3)
+        v = tuple(float(x) for x in np.asarray(v).reshape(-1)[:3])
+        return ConstantTexture(v)
+
+
+@dataclass
+class ImageTexture:
+    image: np.ndarray  # [H, W, 3] linear float32
+    multiplier: tuple = (1.0, 1.0, 1.0)
+
+    @staticmethod
+    def load(path):
+        from ..core.image import read_image
+
+        return ImageTexture(read_image(path))
+
+
+# --------------------------------------------------------------------------
+# Material nodes (ref: kernel/material.h variants + nodes/material.cpp)
+# --------------------------------------------------------------------------
+
+@dataclass
+class DiffuseMaterial:
+    color: object = (0.8, 0.8, 0.8)
+
+
+@dataclass
+class GlossyMaterial:
+    color: object = (1.0, 1.0, 1.0)
+    roughness: object = 0.1
+
+
+@dataclass
+class EmissiveMaterial:
+    color: object = (1.0, 1.0, 1.0)
+    double_sided: bool = False
+
+
+@dataclass
+class MixMaterial:
+    fraction: object  # texture/scalar; prob of picking material B
+    material_a: object = None
+    material_b: object = None
+
+
+# --------------------------------------------------------------------------
+# Shape node (ref: nodes/mesh.cpp AkariMesh + kernel/instance.h MeshInstance)
+# --------------------------------------------------------------------------
+
+@dataclass
+class Mesh:
+    """Triangle mesh: indexed vertices with optional per-vertex attributes.
+
+    ``material_ids`` maps each face to an entry of ``materials``.
+    """
+
+    vertices: np.ndarray            # [V, 3]
+    indices: np.ndarray             # [F, 3] int
+    materials: list = field(default_factory=list)
+    material_ids: Optional[np.ndarray] = None  # [F] int into materials
+    normals: Optional[np.ndarray] = None       # [V, 3] per-vertex
+    uvs: Optional[np.ndarray] = None           # [V, 2] per-vertex
+    # Per-corner variants override the per-vertex ones when given:
+    corner_normals: Optional[np.ndarray] = None  # [F, 3, 3]
+    corner_uvs: Optional[np.ndarray] = None      # [F, 3, 2]
+    transform: Optional[np.ndarray] = None       # [4, 4]
+
+
+# --------------------------------------------------------------------------
+# Scene node + compile (ref: nodes/scene.{h,cpp})
+# --------------------------------------------------------------------------
+
+@dataclass
+class Scene:
+    shapes: list = field(default_factory=list)   # [Mesh]
+    camera: object = None                        # arrays.Camera
+    integrator: object = None                    # integrators config
+    output: str = "out.png"
+
+    def compile(self, intersector="bvh"):
+        return compile_scene(self.shapes, intersector=intersector)
+
+
+def _flatten_mesh(mesh):
+    """Mesh -> per-triangle (p0,p1,p2, corner normals, corner uvs)."""
+    from ..core import transform as xform
+
+    verts = np.asarray(mesh.vertices, dtype=np.float32)
+    idx = np.asarray(mesh.indices, dtype=np.int64).reshape(-1, 3)
+    if mesh.transform is not None:
+        verts = xform.apply_point(np.asarray(mesh.transform, np.float32), verts)
+    p = verts[idx]  # [F, 3, 3]
+
+    if mesh.corner_normals is not None:
+        n = np.asarray(mesh.corner_normals, dtype=np.float32)
+        if mesh.transform is not None:
+            n = xform.apply_normal(mesh.transform, n.reshape(-1, 3)).reshape(n.shape)
+    elif mesh.normals is not None:
+        nv = np.asarray(mesh.normals, dtype=np.float32)
+        if mesh.transform is not None:
+            nv = xform.apply_normal(mesh.transform, nv)
+        n = nv[idx]
+    else:
+        e1 = p[:, 1] - p[:, 0]
+        e2 = p[:, 2] - p[:, 0]
+        ng = np.cross(e1, e2)
+        norm = np.linalg.norm(ng, axis=-1, keepdims=True)
+        ng = ng / np.where(norm > 0, norm, 1.0)
+        n = np.repeat(ng[:, None, :], 3, axis=1)
+    norm = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = (n / np.where(norm > 0, norm, 1.0)).astype(np.float32)
+
+    if mesh.corner_uvs is not None:
+        uv = np.asarray(mesh.corner_uvs, dtype=np.float32)
+    elif mesh.uvs is not None:
+        uv = np.asarray(mesh.uvs, dtype=np.float32)[idx]
+    else:
+        uv = np.zeros((idx.shape[0], 3, 2), dtype=np.float32)
+
+    mat_ids = (
+        np.zeros(idx.shape[0], dtype=np.int64)
+        if mesh.material_ids is None
+        else np.asarray(mesh.material_ids, dtype=np.int64)
+    )
+    return p, n, uv, mat_ids
+
+
+class _TableBuilder:
+    """Assigns ids while deduplicating by object identity."""
+
+    def __init__(self):
+        self.ids = {}
+        self.items = []
+
+    def add(self, obj):
+        key = id(obj)
+        if key not in self.ids:
+            self.ids[key] = len(self.items)
+            self.items.append(obj)
+        return self.ids[key]
+
+
+def _compile_textures_materials(materials):
+    """Walk material graph -> (MaterialTable, TextureTable) numpy dicts."""
+    mats = _TableBuilder()
+    texs = _TableBuilder()
+    images = []  # list of np arrays
+
+    def tex_id(t):
+        t = ConstantTexture.coerce(t)
+        i = texs.add(t)
+        return i
+
+    def mat_id(m):
+        i = mats.add(m)
+        return i
+
+    # Seed: walk mix graphs to register everything.
+    pending = list(materials)
+    seen = set()
+    while pending:
+        m = pending.pop()
+        if id(m) in seen:
+            continue
+        seen.add(id(m))
+        mat_id(m)
+        if isinstance(m, MixMaterial):
+            pending.append(m.material_a)
+            pending.append(m.material_b)
+
+    M = len(mats.items)
+    kind = np.zeros(M, np.int32)
+    color_tex = np.zeros(M, np.int32)
+    roughness_tex = np.zeros(M, np.int32)
+    fraction_tex = np.zeros(M, np.int32)
+    mix_a = np.zeros(M, np.int32)
+    mix_b = np.zeros(M, np.int32)
+    double_sided = np.zeros(M, bool)
+
+    for i, m in enumerate(list(mats.items)):
+        if isinstance(m, DiffuseMaterial):
+            kind[i] = MAT_DIFFUSE
+            color_tex[i] = tex_id(m.color)
+        elif isinstance(m, GlossyMaterial):
+            kind[i] = MAT_GLOSSY
+            color_tex[i] = tex_id(m.color)
+            roughness_tex[i] = tex_id(m.roughness)
+        elif isinstance(m, EmissiveMaterial):
+            kind[i] = MAT_EMISSIVE
+            color_tex[i] = tex_id(m.color)
+            double_sided[i] = bool(m.double_sided)
+        elif isinstance(m, MixMaterial):
+            kind[i] = MAT_MIX
+            fraction_tex[i] = tex_id(m.fraction)
+            mix_a[i] = mats.ids[id(m.material_a)]
+            mix_b[i] = mats.ids[id(m.material_b)]
+        else:
+            raise TypeError(f"unknown material node {type(m)}")
+
+    X = len(texs.items)
+    t_kind = np.zeros(X, np.int32)
+    t_value = np.ones((X, 3), np.float32)
+    t_image = np.zeros(X, np.int32)
+    for i, t in enumerate(texs.items):
+        if isinstance(t, ConstantTexture):
+            t_kind[i] = TEX_CONSTANT
+            t_value[i] = np.asarray(t.value, np.float32)
+        else:
+            t_kind[i] = TEX_IMAGE
+            t_value[i] = np.asarray(t.multiplier, np.float32)
+            t_image[i] = len(images)
+            images.append(np.asarray(t.image, np.float32))
+
+    if images:
+        hm = max(im.shape[0] for im in images)
+        wm = max(im.shape[1] for im in images)
+        stack = np.zeros((len(images), hm, wm, 3), np.float32)
+        sizes = np.zeros((len(images), 2), np.int32)
+        for i, im in enumerate(images):
+            stack[i, : im.shape[0], : im.shape[1]] = im[..., :3]
+            sizes[i] = (im.shape[0], im.shape[1])
+    else:
+        stack = np.zeros((1, 1, 1, 3), np.float32)
+        sizes = np.ones((1, 2), np.int32)
+
+    mat_table = MaterialTable(
+        kind=kind, color_tex=color_tex, roughness_tex=roughness_tex,
+        fraction_tex=fraction_tex, mix_a=mix_a, mix_b=mix_b,
+        double_sided=double_sided,
+    )
+    tex_table = TextureTable(
+        kind=t_kind, value=t_value, image_id=t_image,
+        images=stack, image_sizes=sizes,
+    )
+    return mats, mat_table, tex_table, texs
+
+
+def _texture_mean(texs, tex_idx):
+    """Host-side mean radiance of a texture (for light power weighting;
+    ref: async texture integrals, nodes/scene.cpp:62-88 + ImageTexture
+    integral(), kernel/texture.h)."""
+    t = texs.items[tex_idx]
+    if isinstance(t, ConstantTexture):
+        return float(luminance(np.asarray(t.value, np.float32)))
+    mean_rgb = t.image.reshape(-1, 3).mean(axis=0) * np.asarray(t.multiplier)
+    return float(luminance(mean_rgb.astype(np.float32)))
+
+
+def compile_scene(shapes, intersector="bvh"):
+    """Merge meshes, build materials/lights/BVH -> SceneArrays (numpy leaves).
+
+    Call ``jax.device_put`` (or just use under jit) to move to TPU.
+    """
+    all_p, all_n, all_uv, all_mid = [], [], [], []
+    global_materials = []
+    for mesh in shapes:
+        p, n, uv, mid = _flatten_mesh(mesh)
+        base = len(global_materials)
+        global_materials.extend(mesh.materials or [DiffuseMaterial()])
+        all_p.append(p)
+        all_n.append(n)
+        all_uv.append(uv)
+        all_mid.append(mid + base)
+    p = np.concatenate(all_p) if all_p else np.zeros((0, 3, 3), np.float32)
+    n = np.concatenate(all_n)
+    uv = np.concatenate(all_uv)
+    mid = np.concatenate(all_mid)
+
+    mats, mat_table, tex_table, texs = _compile_textures_materials(global_materials)
+    # map per-face material object index -> table id (identity already matches
+    # registration order for the top-level list, but resolve defensively)
+    top_ids = np.asarray([mats.ids[id(m)] for m in global_materials], np.int32)
+    face_mat = top_ids[mid]
+
+    bvh, order = build_bvh(p[:, 0], p[:, 1], p[:, 2])
+    p, n, uv, face_mat = p[order], n[order], uv[order], face_mat[order]
+
+    v0 = p[:, 0]
+    e1 = p[:, 1] - p[:, 0]
+    e2 = p[:, 2] - p[:, 0]
+
+    # Light table: every emissive-material triangle is an area light, with
+    # power = emission_mean * area (ref: nodes/scene.cpp:55-92).
+    emissive_mask = mat_table.kind[face_mat] == MAT_EMISSIVE
+    light_tris = np.nonzero(emissive_mask)[0].astype(np.int32)
+    if light_tris.size > 0:
+        areas = 0.5 * np.linalg.norm(
+            np.cross(e1[light_tris], e2[light_tris]), axis=-1
+        )
+        power = np.asarray(
+            [
+                _texture_mean(texs, mat_table.color_tex[face_mat[t]])
+                for t in light_tris
+            ]
+        ) * areas
+        pdf, cdf = build_cdf(power)
+        tri_to_light = np.full(v0.shape[0], -1, np.int32)
+        tri_to_light[light_tris] = np.arange(light_tris.size, dtype=np.int32)
+        lights = LightTable(
+            tri_id=light_tris, cdf=cdf, pdf=pdf,
+            tri_to_light=tri_to_light,
+            n_lights=int(light_tris.size),
+        )
+    else:
+        lights = LightTable(
+            tri_id=np.zeros(1, np.int32),
+            cdf=np.asarray([0.0, 1.0], np.float32),
+            pdf=np.ones(1, np.float32),
+            tri_to_light=np.full(max(v0.shape[0], 1), -1, np.int32),
+            n_lights=0,
+        )
+
+    return SceneArrays(
+        tri_v0=v0.astype(np.float32),
+        tri_e1=e1.astype(np.float32),
+        tri_e2=e2.astype(np.float32),
+        normals=n.astype(np.float32),
+        uvs=uv.astype(np.float32),
+        mat_id=face_mat,
+        materials=mat_table,
+        textures=tex_table,
+        lights=lights,
+        bvh=BVHArrays(**bvh),
+        n_tris=int(v0.shape[0]),
+        n_materials=len(mats.items),
+        intersector=intersector,
+    )

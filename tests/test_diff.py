@@ -1,0 +1,107 @@
+"""Differentiability tests: finite-difference gradient checks on albedo and
+emitter radiance (BASELINE: pixel gradients allclose; config 4 recovery)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from akari_tpu.diff.inverse import apply_params, scene_params
+from akari_tpu.integrators.path import PathConfig, render
+from akari_tpu.parallel.mesh import make_ray_mesh
+from akari_tpu.parallel.render import loss_and_image_sharded
+from akari_tpu.scene.builtin import cornell_box
+
+
+@pytest.fixture(scope="module")
+def setup():
+    sc = cornell_box(12, 12)
+    scene = sc.compile(intersector="bvh")
+    return sc, scene
+
+
+def _loss_of_params(scene, cam, cfg, target):
+    def f(params):
+        s = apply_params(scene, params)
+        img = render(s, cam, cfg, seed=0)
+        return jnp.mean((img - target) ** 2)
+
+    return f
+
+
+def test_albedo_and_emission_finite_difference(setup):
+    """d loss / d texture values matches central differences.
+
+    The same MC sample stream is used for every evaluation (fixed seed), so
+    the FD of the *estimator* is well-defined and smooth in texture params
+    (visibility is detached and unchanged by texture perturbations).
+    """
+    sc, scene = setup
+    cfg = PathConfig(spp=2, max_depth=2, mis=True)
+    target = jnp.zeros((12, 12, 3), jnp.float32)
+    f = _loss_of_params(scene, sc.camera, cfg, target)
+    params = scene_params(scene)
+    g = jax.grad(f)(params)["tex_value"]
+    g = np.asarray(g)
+
+    v0 = np.asarray(params["tex_value"])
+    rng = np.random.default_rng(0)
+    # probe a handful of (texture, channel) coordinates incl. the emitter
+    probes = [(i, c) for i in range(v0.shape[0]) for c in (0, 2)]
+    checked = 0
+    for i, c in probes:
+        eps = 1e-2 * max(abs(v0[i, c]), 1.0)
+        vp = v0.copy()
+        vp[i, c] += eps
+        vm = v0.copy()
+        vm[i, c] -= eps
+        fp = float(f({"tex_value": jnp.asarray(vp)}))
+        fm = float(f({"tex_value": jnp.asarray(vm)}))
+        fd = (fp - fm) / (2 * eps)
+        ad = float(g[i, c])
+        if abs(fd) < 1e-7 and abs(ad) < 1e-7:
+            continue
+        assert abs(fd - ad) <= 0.05 * max(abs(fd), abs(ad)) + 1e-6, (
+            f"tex {i} ch {c}: fd={fd} ad={ad}"
+        )
+        checked += 1
+    assert checked >= 3  # must have verified some nonzero gradients
+
+
+def test_inverse_rendering_recovers_albedo(setup):
+    """Perturb wall albedos + emitter, re-fit on the rendered target."""
+    import dataclasses
+
+    from akari_tpu.diff.inverse import InverseConfig, inverse_render
+
+    sc, scene = setup
+    cfg = PathConfig(spp=2, max_depth=2, mis=True)
+    mesh = make_ray_mesh(n_devices=4)
+    target, _ = None, None
+    # ground-truth image from the true scene
+    _, target = loss_and_image_sharded(
+        scene, sc.camera, cfg, mesh, jnp.zeros((12, 12, 3)), seed=123
+    )
+    target = jax.lax.stop_gradient(target)
+
+    # corrupt: scale all texture values down
+    bad = dataclasses.replace(
+        scene,
+        textures=dataclasses.replace(
+            scene.textures, value=scene.textures.value * 0.4
+        ),
+    )
+    loss0, _ = loss_and_image_sharded(bad, sc.camera, cfg, mesh, target, seed=123)
+
+    recovered, losses, _ = inverse_render(
+        bad, sc.camera, cfg, target, mesh,
+        InverseConfig(iterations=40, learning_rate=0.1, seed=123),
+    )
+    assert losses[-1] < 0.2 * float(loss0), (losses[0], losses[-1])
+    # recovered emitter radiance should move toward truth (17,12,4)
+    true_v = np.asarray(scene.textures.value)
+    rec_v = np.asarray(recovered.textures.value)
+    bad_v = true_v * 0.4
+    err_bad = np.abs(bad_v - true_v).sum()
+    err_rec = np.abs(rec_v - true_v).sum()
+    assert err_rec < err_bad

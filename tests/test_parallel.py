@@ -1,0 +1,59 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh:
+sharded render == single-device render; sharded loss grads finite and
+matching single-device grads (the gradient all-reduce path)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from akari_tpu.diff.inverse import apply_params, scene_params
+from akari_tpu.integrators.path import PathConfig, render
+from akari_tpu.parallel.mesh import make_ray_mesh
+from akari_tpu.parallel.render import loss_and_image_sharded, render_sharded
+from akari_tpu.scene.builtin import cornell_box
+
+
+@pytest.fixture(scope="module")
+def setup():
+    sc = cornell_box(16, 16)
+    scene = sc.compile(intersector="bvh")
+    return scene, sc.camera, PathConfig(spp=2, max_depth=2)
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+def test_sharded_render_matches_single(setup):
+    scene, cam, cfg = setup
+    mesh = make_ray_mesh()
+    img_sharded = np.asarray(render_sharded(scene, cam, cfg, mesh, seed=0))
+    img_single = np.asarray(render(scene, cam, cfg, seed=0))
+    np.testing.assert_allclose(img_sharded, img_single, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_grads_match_single_device(setup):
+    scene, cam, cfg = setup
+    mesh8 = make_ray_mesh()
+    mesh1 = make_ray_mesh(n_devices=1)
+    target = jnp.full((16, 16, 3), 0.25, jnp.float32)
+    params = scene_params(scene)
+
+    def loss_with(mesh):
+        def f(params):
+            s = apply_params(scene, params)
+            loss, _ = loss_and_image_sharded(s, cam, cfg, mesh, target, seed=0)
+            return loss
+
+        return f
+
+    l8, g8 = jax.value_and_grad(loss_with(mesh8))(params)
+    l1, g1 = jax.value_and_grad(loss_with(mesh1))(params)
+    np.testing.assert_allclose(float(l8), float(l1), rtol=1e-5)
+    for k in g8:
+        np.testing.assert_allclose(
+            np.asarray(g8[k]), np.asarray(g1[k]), rtol=1e-4, atol=1e-6
+        )
+    # gradients actually flow into textures (albedo/emitter radiance)
+    assert float(jnp.abs(g8["tex_value"]).sum()) > 0.0
