@@ -27,6 +27,52 @@ TRAVERSAL_COST = 1.0
 INTERSECT_COST = 1.0
 
 
+def _build_native(p0, p1, p2):
+    """C++ builder path (akari_tpu/native/bvh_builder.cpp). None on failure."""
+    import ctypes
+
+    from ..native.loader import get_bvh_lib
+
+    lib = get_bvh_lib()
+    if lib is None:
+        return None
+    p0 = np.ascontiguousarray(p0, dtype=np.float32)
+    p1 = np.ascontiguousarray(p1, dtype=np.float32)
+    p2 = np.ascontiguousarray(p2, dtype=np.float32)
+    t = p0.shape[0]
+    max_nodes = 2 * t + 8
+    node_lo = np.empty((max_nodes, 3), np.float32)
+    node_hi = np.empty((max_nodes, 3), np.float32)
+    first = np.empty(max_nodes, np.int32)
+    count = np.empty(max_nodes, np.int32)
+    miss = np.empty(max_nodes, np.int32)
+    order = np.empty(t, np.int32)
+    n_nodes = ctypes.c_int64(0)
+
+    def ptr(a, ty):
+        return a.ctypes.data_as(ctypes.POINTER(ty))
+
+    rc = lib.akr_bvh_build(
+        ptr(p0, ctypes.c_float), ptr(p1, ctypes.c_float), ptr(p2, ctypes.c_float),
+        ctypes.c_int64(t), ctypes.c_int(MAX_LEAF),
+        ptr(node_lo, ctypes.c_float), ptr(node_hi, ctypes.c_float),
+        ptr(first, ctypes.c_int32), ptr(count, ctypes.c_int32),
+        ptr(miss, ctypes.c_int32), ptr(order, ctypes.c_int32),
+        ctypes.c_int64(max_nodes), ctypes.byref(n_nodes),
+    )
+    if rc != 0:
+        return None
+    m = n_nodes.value
+    bvh = dict(
+        node_lo=node_lo[:m].copy(),
+        node_hi=node_hi[:m].copy(),
+        first=first[:m].copy(),
+        count=count[:m].copy(),
+        miss=miss[:m].copy(),
+    )
+    return bvh, order.astype(np.int64)
+
+
 class _Node:
     __slots__ = ("lo", "hi", "start", "end", "left", "right", "_size")
 
@@ -147,13 +193,24 @@ def _subtree_size(node):
     return node._size
 
 
-def build_bvh(p0, p1, p2):
+def build_bvh(p0, p1, p2, use_native=None):
     """Build a threaded BVH over triangles given [T,3] vertex arrays.
 
     Returns (bvh_dict, order) where ``order`` is the permutation applied to
     triangles (new_i = order[i] indexes the original arrays) and bvh_dict has
     the BVHArrays fields as numpy arrays.
+
+    ``use_native``: None = auto (C++ builder for big scenes when the
+    toolchain is available, ref-parity with the reference's native builder);
+    True/False forces.
     """
+    n = np.asarray(p0).shape[0]
+    if use_native is None:
+        use_native = n >= 20_000
+    if use_native:
+        out = _build_native(p0, p1, p2)
+        if out is not None:
+            return out
     p0 = np.asarray(p0, dtype=np.float64)
     p1 = np.asarray(p1, dtype=np.float64)
     p2 = np.asarray(p2, dtype=np.float64)

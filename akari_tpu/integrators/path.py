@@ -276,24 +276,69 @@ def render_sample(scene, camera, cfg, seed, sample_idx, pixel_idx=None):
     )
 
 
-def render(scene, camera, cfg, seed=0):
-    """Full render: [H, W, 3] mean radiance over cfg.spp samples (JAX).
+# Max rays in one wavefront: bounds PathState memory (~60 B/ray live state;
+# 4M rays ~= 0.25 GB of HBM) while keeping launches large for the VPU.
+MAX_RAYS_IN_FLIGHT = 1 << 22
 
-    Samples are scanned (bounded memory: one wavefront in flight), matching
-    the reference's spp loop (integrators/cpu/integrator.cpp:122-135).
+
+def trace_accumulate(scene, camera, cfg, seed, base_pixel_idx, sample_offset=0):
+    """Mean radiance over cfg.spp samples for the given pixel ids [B].
+
+    Samples are folded into the ray axis (spp_chunk * B rays per wavefront)
+    up to MAX_RAYS_IN_FLIGHT, then scanned over chunks. Large batches
+    amortize per-op overhead — the TPU analog of the reference's
+    512^2-paths-per-tile wavefront sizing (gpu/cuda/integrator.cpp:111).
+    Used by both the single-device and the shard_map-sharded renderers.
     """
     import jax
     import jax.numpy as jnp
 
-    n = camera.width * camera.height
-    pixel_idx = jnp.arange(n, dtype=jnp.uint32)
-
-    def body(acc, s):
-        li = render_sample(scene, camera, cfg, seed, s, pixel_idx)
-        return acc + li, None
-
-    acc, _ = jax.lax.scan(
-        body, jnp.zeros((n, 3), jnp.float32), jnp.arange(cfg.spp, dtype=jnp.uint32)
+    n = base_pixel_idx.shape[0]
+    chunk = max(1, min(cfg.spp, MAX_RAYS_IN_FLIGHT // max(n, 1)))
+    n_chunks = (cfg.spp + chunk - 1) // chunk
+    # pad spp up to n_chunks*chunk and weight the average accordingly
+    pixel_idx = jnp.tile(base_pixel_idx.astype(jnp.uint32), chunk)
+    sample_off = jnp.repeat(
+        jnp.arange(chunk, dtype=jnp.uint32), n
     )
-    img = acc / cfg.spp
+    intersect_fn, occlude_fn = _jax_intersectors(scene)
+
+    def body(acc_count, c):
+        acc, count = acc_count
+        sample_idx = sample_off + c * chunk + jnp.uint32(sample_offset)
+        li = trace_paths(
+            scene, camera, cfg, seed, sample_idx, pixel_idx,
+            intersect_fn, occlude_fn, jnp,
+        )
+        # only samples < offset+spp contribute (last chunk may be partial)
+        w = (sample_idx < sample_offset + cfg.spp).astype(jnp.float32)[:, None]
+        li = (li * w).reshape(chunk, n, 3).sum(axis=0)
+        return (acc + li, count + w.reshape(chunk, n, 1).sum(axis=0)), None
+
+    init = (
+        jnp.zeros((n, 3), jnp.float32),
+        jnp.zeros((n, 1), jnp.float32),
+    )
+    if n_chunks == 1:
+        (acc, count), _ = body(init, jnp.uint32(0))
+    else:
+        (acc, count), _ = jax.lax.scan(
+            body, init, jnp.arange(n_chunks, dtype=jnp.uint32)
+        )
+    return acc / jnp.maximum(count, 1.0)
+
+
+def render(scene, camera, cfg, seed=0, sample_offset=0):
+    """Full render: [H, W, 3] mean radiance over cfg.spp samples (JAX).
+
+    ``sample_offset`` starts the sample stream at a later index — chunked
+    progressive renders accumulate disjoint slices of the same stream.
+    """
+    import jax.numpy as jnp
+
+    n = camera.width * camera.height
+    img = trace_accumulate(
+        scene, camera, cfg, seed, jnp.arange(n, dtype=jnp.uint32),
+        sample_offset=sample_offset,
+    )
     return img.reshape(camera.height, camera.width, 3)

@@ -33,9 +33,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import HIT_EPS, T_MAX, Hit
 
-RAY_TILE = 128
+# 512 rays x 128 tris per grid step: [512,128] f32 intermediates (~256 KB
+# each, ~10 live) stay within VMEM while amortizing per-step overhead over
+# 4x more rays than the minimal 128-lane tile.
+RAY_TILE = 512
 TRI_TILE = 128
 _BIG = np.float32(T_MAX)
+
+# Set True to run kernels in the Pallas interpreter (CPU test suites).
+INTERPRET = False
 
 
 def _pairwise_mt(rays, tris, best_t):
@@ -161,8 +167,8 @@ def pack_tris(tri_v0, tri_e1, tri_e2):
     return fields
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit",))
-def _run(rays, tris, any_hit):
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+def _run(rays, tris, any_hit, interpret=False):
     n_ray_tiles = rays.shape[0] // RAY_TILE
     n_tri_tiles = tris.shape[1] // TRI_TILE
     kernel = _anyhit_kernel if any_hit else _closest_kernel
@@ -171,6 +177,7 @@ def _run(rays, tris, any_hit):
     return pl.pallas_call(
         kernel,
         grid=grid,
+        interpret=interpret,
         in_specs=[
             pl.BlockSpec(
                 (RAY_TILE, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM
@@ -190,7 +197,7 @@ def intersect_pallas(scene, o, d, t_min, t_max, any_hit=False):
     """Entry used by ops.intersect dispatch (scene.intersector == 'pallas')."""
     tris = pack_tris(scene.tri_v0, scene.tri_e1, scene.tri_e2)
     rays, n, pad = _pack_rays(o, d, t_min, t_max)
-    out = _run(rays, tris, any_hit)
+    out = _run(rays, tris, any_hit, interpret=INTERPRET)
     out = out[:n]
     if any_hit:
         return out[:, 0] > 0.5

@@ -18,30 +18,23 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
-from ..integrators.path import trace_paths, _jax_intersectors
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..integrators.path import trace_accumulate
 
 
-def _trace_block(scene, camera, cfg, seed, pixel_idx):
+def _trace_block(scene, camera, pixel_idx, *, cfg, seed, sample_offset=0):
     """Trace cfg.spp samples for a block of pixels -> [B,3] mean radiance."""
-    intersect_fn, occlude_fn = _jax_intersectors(scene)
-
-    def body(acc, s):
-        li = trace_paths(
-            scene, camera, cfg, seed, s, pixel_idx, intersect_fn, occlude_fn, jnp
-        )
-        return acc + li, None
-
-    acc, _ = jax.lax.scan(
-        body,
-        jnp.zeros((pixel_idx.shape[0], 3), jnp.float32),
-        jnp.arange(cfg.spp, dtype=jnp.uint32),
+    return trace_accumulate(
+        scene, camera, cfg, seed, pixel_idx, sample_offset=sample_offset
     )
-    return acc / cfg.spp
 
 
-def render_sharded(scene, camera, cfg, mesh, seed=0):
+def render_sharded(scene, camera, cfg, mesh, seed=0, sample_offset=0):
     """Full-frame render with pixels sharded over mesh axis 'rays'.
 
     Returns [H, W, 3]. Pixel count is padded to a multiple of the axis size.
@@ -52,7 +45,7 @@ def render_sharded(scene, camera, cfg, mesh, seed=0):
     pixel_idx = jnp.arange(n + pad, dtype=jnp.uint32)
 
     fn = shard_map(
-        partial(_trace_block, cfg=cfg, seed=seed),
+        partial(_trace_block, cfg=cfg, seed=seed, sample_offset=sample_offset),
         mesh=mesh,
         in_specs=(P(), P(), P("rays")),
         out_specs=P("rays"),

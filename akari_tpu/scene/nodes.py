@@ -327,6 +327,11 @@ def compile_scene(shapes, intersector="bvh"):
     bvh, order = build_bvh(p[:, 0], p[:, 1], p[:, 2])
     p, n, uv, face_mat = p[order], n[order], uv[order], face_mat[order]
 
+    if intersector == "auto":
+        # the dense Pallas ray-stream kernel beats traversal until the
+        # O(N*T) term dominates; crossover measured on v5e (~8k tris)
+        intersector = "pallas" if p.shape[0] <= 8192 else "bvh"
+
     v0 = p[:, 0]
     e1 = p[:, 1] - p[:, 0]
     e2 = p[:, 2] - p[:, 0]

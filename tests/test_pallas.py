@@ -1,0 +1,119 @@
+"""Pallas kernel tests (interpreter mode on CPU; the same kernels are
+validated compiled on real TPU hardware — see .claude/skills/verify)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import akari_tpu.ops.pallas_intersect as pi
+from akari_tpu.ops.intersect import intersect, occlude
+from akari_tpu.scene.builtin import cornell_box
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    old = pi.INTERPRET
+    pi.INTERPRET = True
+    yield
+    pi.INTERPRET = old
+
+
+def _rays(n, seed=3):
+    r = np.random.default_rng(seed)
+    o = np.asarray([0.0, 1.0, 4.0], np.float32) + r.normal(
+        scale=0.2, size=(n, 3)
+    ).astype(np.float32)
+    d = r.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_pallas_matches_brute():
+    scene_p = cornell_box(16, 16).compile(intersector="pallas")
+    scene_b = cornell_box(16, 16).compile(intersector="brute")
+    o, d = _rays(300)
+    hp = intersect(scene_p, o, d)
+    hb = intersect(scene_b, o, d)
+    np.testing.assert_array_equal(np.asarray(hp.valid), np.asarray(hb.valid))
+    np.testing.assert_array_equal(np.asarray(hp.prim), np.asarray(hb.prim))
+    ok = np.asarray(hb.valid)
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[ok], np.asarray(hb.t)[ok], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(hp.uv)[ok], np.asarray(hb.uv)[ok], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_pallas_occlude_matches_brute():
+    scene_p = cornell_box(16, 16).compile(intersector="pallas")
+    scene_b = cornell_box(16, 16).compile(intersector="brute")
+    o, d = _rays(300, seed=5)
+    op = occlude(scene_p, o, d, 0.0, 1e30)
+    ob = occlude(scene_b, o, d, 0.0, 1e30)
+    np.testing.assert_array_equal(np.asarray(op), np.asarray(ob))
+
+
+def test_pallas_ray_padding():
+    """Non-multiple-of-128 ray counts are padded with never-hit rays."""
+    scene_p = cornell_box(16, 16).compile(intersector="pallas")
+    o, d = _rays(77)
+    h = intersect(scene_p, o, d)
+    assert h.t.shape == (77,)
+
+
+def test_native_bvh_builder_matches_python():
+    from akari_tpu.bvh.build import MAX_LEAF, build_bvh
+    from akari_tpu.native.loader import native_available
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    r = np.random.default_rng(0)
+    n = 5000
+    base = r.uniform(-5, 5, size=(n, 1, 3))
+    tris = (base + r.normal(scale=0.2, size=(n, 3, 3))).astype(np.float32)
+    bvh, order = build_bvh(tris[:, 0], tris[:, 1], tris[:, 2], use_native=True)
+    # invariants
+    leaf = bvh["count"] > 0
+    covered = np.concatenate(
+        [np.arange(f, f + c) for f, c in zip(bvh["first"][leaf], bvh["count"][leaf])]
+    )
+    assert sorted(covered.tolist()) == list(range(n))
+    assert bvh["count"].max() <= MAX_LEAF
+    assert sorted(order.tolist()) == list(range(n))
+    m = bvh["first"].shape[0]
+    assert bvh["miss"].min() >= -1 and bvh["miss"].max() < m
+    assert np.all(bvh["node_lo"] <= bvh["node_hi"])
+
+    # traversal over the native-built BVH matches brute force
+    import jax.numpy as jnp
+
+    from akari_tpu.ops.intersect import intersect
+    from akari_tpu.scene.nodes import Mesh, compile_scene
+
+    verts = tris.reshape(-1, 3)
+    idx = np.arange(verts.shape[0]).reshape(-1, 3)
+    mesh = Mesh(vertices=verts, indices=idx)
+    # compile_scene uses auto selection; force a small scene through native
+    import akari_tpu.scene.nodes as nodes_mod
+
+    orig = nodes_mod.build_bvh
+    try:
+        nodes_mod.build_bvh = lambda p0, p1, p2: orig(p0, p1, p2, use_native=True)
+        scene_n = compile_scene([mesh], intersector="bvh")
+    finally:
+        nodes_mod.build_bvh = orig
+    scene_b = compile_scene([mesh], intersector="brute")
+    rr = np.random.default_rng(1)
+    o = jnp.asarray(rr.uniform(-6, 6, size=(256, 3)).astype(np.float32))
+    d = rr.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    hn = intersect(scene_n, o, d)
+    hb = intersect(scene_b, o, d)
+    # native and python builders order triangles differently, so compare
+    # hit distances + validity (prim ids live in different permutations)
+    np.testing.assert_array_equal(np.asarray(hn.valid), np.asarray(hb.valid))
+    np.testing.assert_allclose(
+        np.asarray(hn.t), np.asarray(hb.t), rtol=1e-5, atol=1e-4
+    )
