@@ -63,6 +63,8 @@ def main(argv=None):
 
     import jax
 
+    from ..integrators.bdpt import BDPTConfig, render_bdpt
+
     cfg = scene_node.integrator or PathConfig()
     if args.ao or isinstance(cfg, AOConfig):
         if not isinstance(cfg, AOConfig):
@@ -71,6 +73,11 @@ def main(argv=None):
             cfg = dataclasses.replace(cfg, spp=args.spp)
         t0 = time.perf_counter()
         img = render_ao(scene, camera, cfg, seed=args.seed)
+    elif isinstance(cfg, BDPTConfig):
+        if args.spp:
+            cfg = dataclasses.replace(cfg, spp=args.spp)
+        t0 = time.perf_counter()
+        img = render_bdpt(scene, camera, cfg, seed=args.seed)
     else:
         if args.spp:
             cfg = dataclasses.replace(cfg, spp=args.spp)

@@ -1,0 +1,529 @@
+"""Bidirectional path tracer (BDPT), wavefront-vectorized.
+
+New capability vs the reference: AkariRender's gallery shows BDPT renders
+from an earlier incarnation but the reference code has no bidirectional
+integrator (SURVEY.md §4 — "BDPT/guiding are NOT in this code"); BASELINE
+config 5 asks for one. This is a from-scratch TPU formulation:
+
+* An **eye subpath** and a **light subpath** are traced for every pixel
+  sample with the same fixed-depth masked wavefront sweeps as the
+  unidirectional integrator — producing SoA vertex tapes of shape
+  [n_rays, depth, ...] (a pytree of dense arrays; no dynamic path lengths).
+* Every (s, t) **connection strategy** (light vertex s >= 1, eye vertex
+  t >= 1) plus the s = 0 strategy (eye path hits the light) is evaluated
+  as a dense batched operation: one visibility ray batch per (s, t) pair.
+* **Exact Veach MIS** (balance heuristic) over all strategies of each path
+  length: each vertex stores its forward and reverse probability densities
+  converted to area measure, and the weight is computed with the standard
+  r_i product recurrence — vectorized over the whole ray batch.
+
+Light tracing "t = 1" splat strategies (connecting light subpaths to the
+camera) are intentionally excluded from the strategy set; MIS weights
+account only for the included strategies, so the estimator stays unbiased.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import sampling
+from ..core import rng
+from ..core.vecmath import _xp, cross, dot, normalize
+from ..shading import bsdf as bsdf_mod
+from ..shading import light as light_mod
+from ..shading import material as mat_mod
+from .path import RAY_EPS, SHADOW_EPS, camera_rays, _surface_data, _jax_intersectors
+
+# RNG dimension plan: eye subpath uses the standard per-bounce dims
+# (rng.bounce_dim); the light subpath draws from a disjoint high range.
+LIGHT_DIMS_BASE = 4096
+OFF_L_POS = 0      # light point (2) + light select (1)
+OFF_L_DIR = 3      # emission direction (2)
+OFF_L_BSDF = 5     # per-bounce bsdf u (2)
+
+
+@dataclass(frozen=True)
+class BDPTConfig:
+    spp: int = 4
+    eye_depth: int = 4    # max eye surface vertices (tape depth)
+    light_depth: int = 3  # max light subpath vertices (tape depth)
+    ray_clamp: float = 20.0
+    # Cap on total surface vertices per path (0 = no cap beyond the tape
+    # depths). Applies to whole path lengths, so MIS weights need no
+    # adjustment; used for apples-to-apples comparisons with the
+    # unidirectional tracer (max_vertices = max_depth + 1).
+    max_vertices: int = 0
+
+
+def _vertex_tape(n, depth, xp):
+    """SoA tape for one subpath: all [n, depth(, c)] arrays."""
+    z = lambda *sh: xp.zeros((n, depth) + sh, xp.float32)
+    return {
+        "p": z(3),           # position
+        "ns": z(3),          # shading normal
+        "ng": z(3),          # geometric normal
+        "wo": z(3),          # direction toward the previous vertex
+        "beta": z(3),        # throughput up to (and including) this vertex
+        "kind": xp.full((n, depth), -1, xp.int32),   # closure kind
+        "color": z(3),
+        "alpha": z(),
+        "choice_pdf": z(),
+        "pdf_fwd": z(),      # area-measure pdf of generating this vertex
+        "pdf_rev": z(),      # area-measure pdf of the reverse walk
+        "valid": xp.zeros((n, depth), bool),
+        "uv": z(2),          # texture coords (for Le at eye hits)
+        "mat_id": xp.zeros((n, depth), xp.int32),
+        "prim": xp.full((n, depth), -1, xp.int32),
+    }
+
+
+def _set(tape, i, **kv):
+    for k, v in kv.items():
+        tape[k] = tape[k].at[:, i].set(v) if hasattr(tape[k], "at") else _np_set(tape[k], i, v)
+    return tape
+
+
+def _np_set(arr, i, v):
+    arr[:, i] = v
+    return arr
+
+
+def _geo_term(pa, na, pb, nb, xp):
+    """|cos a||cos b| / d^2 and the unit direction a->b, distance."""
+    w = pb - pa
+    d2 = xp.maximum(dot(w, w), 1e-12)
+    dist = xp.sqrt(d2)
+    wn = w / dist[..., None]
+    cos_a = xp.abs(dot(na, wn))
+    cos_b = xp.abs(dot(nb, -wn))
+    return cos_a * cos_b / d2, wn, dist, cos_a, cos_b
+
+
+def _sa_to_area(pdf_sa, p_from, p_to, n_to, xp):
+    """Solid-angle pdf at p_from -> area pdf at p_to."""
+    w = p_to - p_from
+    d2 = xp.maximum(dot(w, w), 1e-12)
+    wn = w / xp.sqrt(d2)[..., None]
+    return pdf_sa * xp.abs(dot(n_to, wn)) / d2
+
+
+def _trace_eye_subpath(scene, camera, cfg, seed, sample_idx, pixel_idx,
+                       intersect_fn, xp):
+    """Trace the eye subpath, filling a vertex tape of depth cfg.eye_depth."""
+    n = pixel_idx.shape[0]
+    depth = cfg.eye_depth
+    tape = _vertex_tape(n, depth, xp)
+
+    o, d = camera_rays(camera, seed, sample_idx, pixel_idx, xp)
+    beta = xp.ones((n, 3), xp.float32)
+    active = xp.ones((n,), bool)
+    pdf_dir = xp.full((n,), 1.0, xp.float32)  # camera importance treated as 1
+    prev_p = o
+    prev_ns = d  # unused for camera; pdf conversions handled below
+
+    for t in range(depth):
+        th, prim, bary, valid = intersect_fn(o, d)
+        active = active & valid
+        p, ng, ns, uv, mat_id = _surface_data(scene, prim, bary, xp)
+        wo = -d
+
+        u_mix = rng.uniform(seed, pixel_idx, sample_idx, rng.bounce_dim(t, rng.OFF_MIX))
+        leaf, choice_pdf = mat_mod.select_material(
+            scene.materials, scene.textures, mat_id, u_mix, uv
+        )
+        params = mat_mod.closure_params(
+            scene.materials, scene.textures, leaf, choice_pdf, uv
+        )
+        # area pdf of this vertex from the previous one
+        pdf_area = _sa_to_area(pdf_dir, prev_p, p, ns, xp)
+
+        tape = _set(
+            tape, t,
+            p=p, ns=ns, ng=ng, wo=wo, beta=beta,
+            kind=params["kind"], color=params["color"], alpha=params["alpha"],
+            choice_pdf=params["choice_pdf"], pdf_fwd=pdf_area,
+            valid=active, uv=uv, mat_id=mat_id,
+            prim=xp.where(active, prim, -1),
+        )
+
+        # sample continuation
+        frame = bsdf_mod.make_frame(ns)
+        u_b = rng.uniform2(seed, pixel_idx, sample_idx, rng.bounce_dim(t, rng.OFF_BSDF_U))
+        wi, f, pdf = bsdf_mod.sample_world(params, frame, wo, u_b)
+        # reverse pdf of the PREVIOUS vertex: pdf of sampling wo from wi
+        pdf_rev_sa = bsdf_mod.pdf_world(params, frame, wi, wo)
+        if t > 0:
+            prev_rev = _sa_to_area(
+                pdf_rev_sa, p, tape["p"][:, t - 1],
+                tape["ns"][:, t - 1], xp,
+            )
+            tape["pdf_rev"] = tape["pdf_rev"].at[:, t - 1].set(prev_rev) \
+                if hasattr(tape["pdf_rev"], "at") else _np_set(tape["pdf_rev"], t - 1, prev_rev)
+
+        cos_wi = xp.abs(dot(ns, wi))
+        ok = active & (params["kind"] != bsdf_mod.CLOSURE_NULL) & (pdf > 1e-9)
+        beta = xp.where(
+            ok[..., None], beta * f * (cos_wi / xp.maximum(pdf, 1e-9))[..., None], beta
+        )
+        prev_p = p
+        o = p + wi * (RAY_EPS / xp.maximum(xp.abs(dot(ng, wi)), 1e-4))[..., None]
+        d = wi
+        pdf_dir = pdf
+        active = ok
+
+    return tape
+
+
+def _sample_light_origin(scene, seed, sample_idx, pixel_idx, xp):
+    """Sample a point + direction on a light: returns origin vertex data."""
+    u_sel = rng.uniform(seed, pixel_idx, sample_idx, LIGHT_DIMS_BASE + OFF_L_POS + 2)
+    u_pos = rng.uniform2(seed, pixel_idx, sample_idx, LIGHT_DIMS_BASE + OFF_L_POS)
+    from ..core.distribution import sample_discrete
+
+    li, sel_pdf = sample_discrete(scene.lights.cdf, u_sel)
+    tri = xp.take(scene.lights.tri_id, li)
+    v0 = xp.take(scene.tri_v0, tri, axis=0)
+    e1 = xp.take(scene.tri_e1, tri, axis=0)
+    e2 = xp.take(scene.tri_e2, tri, axis=0)
+    ng_raw = cross(e1, e2)
+    area2 = xp.sqrt(xp.maximum(dot(ng_raw, ng_raw), 1e-20))
+    ng = ng_raw / area2[..., None]
+    area = 0.5 * area2
+    b = sampling.uniform_triangle(u_pos)
+    p = v0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
+    mat_id = xp.take(scene.mat_id, tri)
+    uvs = xp.take(scene.uvs, tri, axis=0)
+    b0 = 1.0 - b[..., 0:1] - b[..., 1:2]
+    uv = uvs[:, 0] * b0 + uvs[:, 1] * b[..., 0:1] + uvs[:, 2] * b[..., 1:2]
+    Le = mat_mod.emission(scene.materials, scene.textures, mat_id, uv)
+    pdf_area = sel_pdf / xp.maximum(area, 1e-12)
+    return p, ng, Le, pdf_area, tri
+
+
+def _trace_light_subpath(scene, cfg, seed, sample_idx, pixel_idx,
+                         intersect_fn, xp):
+    """Trace the light subpath; vertex 0 is the point on the light."""
+    n = pixel_idx.shape[0]
+    depth = cfg.light_depth
+    tape = _vertex_tape(n, depth, xp)
+    if scene.lights.n_lights == 0 or depth == 0:
+        return tape
+
+    p0, ng0, Le, pdf_a0, tri0 = _sample_light_origin(
+        scene, seed, sample_idx, pixel_idx, xp
+    )
+    # vertex 0: on the light. beta = Le / pdf_area (direction factors follow)
+    beta0 = Le / pdf_a0[..., None]
+    tape = _set(
+        tape, 0,
+        p=p0, ns=ng0, ng=ng0, wo=ng0, beta=beta0,
+        kind=xp.full((n,), bsdf_mod.CLOSURE_NULL, xp.int32),
+        pdf_fwd=pdf_a0,
+        valid=xp.ones((n,), bool) & (xp.max(Le, axis=-1) > 0),
+        prim=tri0,
+    )
+
+    # emit direction: cosine-weighted about the light normal
+    from ..core.vecmath import onb, to_world
+
+    u_dir = rng.uniform2(seed, pixel_idx, sample_idx, LIGHT_DIMS_BASE + OFF_L_DIR)
+    w_local = sampling.cosine_hemisphere(u_dir)
+    t0, b0v = onb(ng0)
+    d = to_world(t0, b0v, ng0, w_local)
+    cos0 = xp.abs(dot(ng0, d))
+    pdf_dir = sampling.cosine_hemisphere_pdf(xp.maximum(cos0, 1e-9))
+    beta = beta0 * (cos0 / xp.maximum(pdf_dir, 1e-9))[..., None]
+    o = p0 + d * (RAY_EPS / xp.maximum(cos0, 1e-4))[..., None]
+    active = tape["valid"][:, 0]
+    prev_p = p0
+
+    for s in range(1, depth):
+        th, prim, bary, valid = intersect_fn(o, d)
+        active = active & valid
+        p, ng, ns, uv, mat_id = _surface_data(scene, prim, bary, xp)
+        wo = -d
+
+        dim = LIGHT_DIMS_BASE + OFF_L_BSDF + s * 4
+        u_mix = rng.uniform(seed, pixel_idx, sample_idx, dim + 2)
+        leaf, choice_pdf = mat_mod.select_material(
+            scene.materials, scene.textures, mat_id, u_mix, uv
+        )
+        params = mat_mod.closure_params(
+            scene.materials, scene.textures, leaf, choice_pdf, uv
+        )
+        pdf_area = _sa_to_area(pdf_dir, prev_p, p, ns, xp)
+        tape = _set(
+            tape, s,
+            p=p, ns=ns, ng=ng, wo=wo, beta=beta,
+            kind=params["kind"], color=params["color"], alpha=params["alpha"],
+            choice_pdf=params["choice_pdf"], pdf_fwd=pdf_area,
+            valid=active, uv=uv, mat_id=mat_id,
+            prim=xp.where(active, prim, -1),
+        )
+
+        frame = bsdf_mod.make_frame(ns)
+        u_b = rng.uniform2(seed, pixel_idx, sample_idx, dim)
+        wi, f, pdf = bsdf_mod.sample_world(params, frame, wo, u_b)
+        pdf_rev_sa = bsdf_mod.pdf_world(params, frame, wi, wo)
+        prev_rev = _sa_to_area(
+            pdf_rev_sa, p, tape["p"][:, s - 1], tape["ns"][:, s - 1], xp
+        )
+        tape["pdf_rev"] = tape["pdf_rev"].at[:, s - 1].set(prev_rev) \
+            if hasattr(tape["pdf_rev"], "at") else _np_set(tape["pdf_rev"], s - 1, prev_rev)
+
+        cos_wi = xp.abs(dot(ns, wi))
+        ok = active & (params["kind"] != bsdf_mod.CLOSURE_NULL) & (pdf > 1e-9)
+        beta = xp.where(
+            ok[..., None], beta * f * (cos_wi / xp.maximum(pdf, 1e-9))[..., None], beta
+        )
+        prev_p = p
+        o = p + wi * (RAY_EPS / xp.maximum(xp.abs(dot(ng, wi)), 1e-4))[..., None]
+        d = wi
+        pdf_dir = pdf
+        active = ok
+
+    return tape
+
+
+def _params_at(tape, i):
+    return {
+        "kind": tape["kind"][:, i],
+        "color": tape["color"][:, i],
+        "alpha": tape["alpha"][:, i],
+        "dist": tape["kind"][:, i] * 0,  # GGX == 0
+        "choice_pdf": tape["choice_pdf"][:, i],
+    }
+
+
+def _safe_div(xp, a, b):
+    return a / xp.where(b > 1e-18, b, 1e-18)
+
+
+def _mis_weight(eye, light, s, t, rev_e_t, rev_e_tm1, rev_l_s, rev_l_sm1,
+                max_light_depth, xp):
+    """Balance-heuristic weight for connection strategy (s, t).
+
+    Strategy set for a path with E eye vertices + L light vertices:
+    all (s', t') with s' + t' = s + t + 2 vertices split as s' light /
+    t' eye, where t' >= 1 (no light-hits-camera strategies) and
+    s' <= max_light_depth. Standard r_i recurrence (Veach; pbrt's
+    MISWeight): walk outward from the connection multiplying rev/fwd
+    pdf ratios per vertex. The two vertices adjacent to the connection
+    need their reverse pdfs recomputed for the connection direction:
+    rev_e_t   = area pdf of eye vertex t generated from light vertex s;
+    rev_e_tm1 = area pdf of eye vertex t-1 generated from eye vertex t
+                with incoming from the connection;
+    rev_l_s / rev_l_sm1 symmetrically.
+    """
+    sum_ri = xp.zeros_like(rev_e_t)
+    max_eye_depth = eye["pdf_fwd"].shape[1]
+
+    # Tape index k holds vertex count k+1. Eye-ward alternatives: the
+    # connection moves past eye index k (k = t .. 1), leaving k eye
+    # vertices and s + (t - k) + 2 light vertices.
+    ri = xp.ones_like(rev_e_t)
+    for k in range(t, 0, -1):
+        rev = rev_e_t if k == t else (rev_e_tm1 if k == t - 1 else eye["pdf_rev"][:, k])
+        ri = ri * _safe_div(xp, rev, eye["pdf_fwd"][:, k])
+        if s + (t - k) + 2 <= max_light_depth:
+            sum_ri = sum_ri + ri
+
+    # Light-ward alternatives: the connection moves past light index k
+    # (k = s .. 0), leaving k light vertices (k = 0 is the pure eye hit)
+    # and t + (s - k) + 2 eye vertices.
+    ri = xp.ones_like(rev_e_t)
+    for k in range(s, -1, -1):
+        rev = rev_l_s if k == s else (rev_l_sm1 if k == s - 1 else light["pdf_rev"][:, k])
+        ri = ri * _safe_div(xp, rev, light["pdf_fwd"][:, k])
+        if t + (s - k) + 2 <= max_eye_depth:
+            sum_ri = sum_ri + ri
+
+    return 1.0 / (1.0 + sum_ri)
+
+
+def _mis_weight_s0(eye, t, pdf_light_area, pdf_emit_tm1, max_light_depth, xp):
+    """Weight for the s = 0 strategy: the eye path hits the light at eye
+    vertex index t. Competitors generate the light vertex (and possibly
+    more) from the light side:
+    pdf_light_area = area pdf of sampling the hit point on the light;
+    pdf_emit_tm1   = area pdf of eye vertex t-1 generated from the light
+                     point by emission-direction sampling.
+    """
+    sum_ri = xp.zeros_like(pdf_light_area)
+    ri = xp.ones_like(pdf_light_area)
+    # k walks the eye tape from the light vertex (index t) backwards; the
+    # alternative after moving past index k has (t - k + 1) light vertices
+    # and k eye vertices (needs k >= 1).
+    for k in range(t, 0, -1):
+        if k == t:
+            rev = pdf_light_area
+        elif k == t - 1:
+            rev = pdf_emit_tm1
+        else:
+            rev = eye["pdf_rev"][:, k]
+        ri = ri * _safe_div(xp, rev, eye["pdf_fwd"][:, k])
+        if (t - k + 1) <= max_light_depth:
+            sum_ri = sum_ri + ri
+    return 1.0 / (1.0 + sum_ri)
+
+
+def trace_bdpt(scene, camera, cfg, seed, sample_idx, pixel_idx,
+               intersect_fn, occlude_fn, xp):
+    """One BDPT sample per pixel -> [N, 3] radiance."""
+    n = pixel_idx.shape[0]
+    eye = _trace_eye_subpath(
+        scene, camera, cfg, seed, sample_idx, pixel_idx, intersect_fn, xp
+    )
+    light = _trace_light_subpath(
+        scene, cfg, seed, sample_idx, pixel_idx, intersect_fn, xp
+    )
+    L = xp.zeros((n, 3), xp.float32)
+
+    cap = cfg.max_vertices if cfg.max_vertices > 0 else 1 << 30
+
+    # ---- s = 0: eye path hits an emitter ----
+    for t in range(cfg.eye_depth):
+        if t + 1 > cap:
+            break
+        mat_id = eye["mat_id"][:, t]
+        Le = mat_mod.emission(scene.materials, scene.textures, mat_id, eye["uv"][:, t])
+        dsided = mat_mod.emissive_double_sided(scene.materials, mat_id)
+        front = dot(-eye["wo"][:, t], eye["ng"][:, t]) < 0.0
+        ok = eye["valid"][:, t] & (dsided | front)
+        if t == 0:
+            w = xp.ones((n,), xp.float32)
+        else:
+            li = xp.take(scene.lights.tri_to_light, xp.maximum(eye["prim"][:, t], 0))
+            sel_pdf = xp.take(scene.lights.pdf, xp.maximum(li, 0))
+            _, _, _, _, area = light_mod._light_tri_data(scene, xp.maximum(eye["prim"][:, t], 0))
+            pdf_l_area = sel_pdf / xp.maximum(area, 1e-12)
+            # area pdf of eye vertex t-1 generated from the (hit) light
+            # point by cosine emission-direction sampling
+            w_back = normalize(eye["p"][:, t - 1] - eye["p"][:, t], eps=1e-20)
+            cos_emit = xp.abs(dot(eye["ng"][:, t], w_back))
+            pdf_emit_tm1 = _sa_to_area(
+                sampling.cosine_hemisphere_pdf(xp.maximum(cos_emit, 1e-9)),
+                eye["p"][:, t], eye["p"][:, t - 1], eye["ns"][:, t - 1], xp,
+            )
+            w = _mis_weight_s0(
+                eye, t, pdf_l_area, pdf_emit_tm1, cfg.light_depth, xp
+            )
+            ok = ok & (li >= 0)
+        L = L + eye["beta"][:, t] * Le * (ok * w)[..., None]
+
+    if scene.lights.n_lights == 0:
+        return L
+
+    # ---- connections (s >= 1, t >= 1) ----
+    for t in range(cfg.eye_depth):
+        pe = eye["p"][:, t]
+        e_params = _params_at(eye, t)
+        e_frame = bsdf_mod.make_frame(eye["ns"][:, t])
+        e_scatterable = eye["valid"][:, t] & (eye["kind"][:, t] != bsdf_mod.CLOSURE_NULL)
+        for s in range(cfg.light_depth):
+            if t + s + 2 > cap:
+                break
+            pl = light["p"][:, s]
+            g, w_el, dist, cos_e, cos_l = _geo_term(
+                pe, eye["ns"][:, t], pl, light["ns"][:, s], xp
+            )
+            f_e = bsdf_mod.eval_world(e_params, e_frame, eye["wo"][:, t], w_el)
+            # rev pdfs the OTHER side would use to create the connection
+            # vertices (area measure at the respective vertex):
+            # eye vertex t generated from light vertex s:
+            if s == 0:
+                # light vertex 0 emits: one-sided emission factor
+                mat0 = xp.take(scene.mat_id, xp.maximum(light["prim"][:, 0], 0))
+                dsided = mat_mod.emissive_double_sided(scene.materials, mat0)
+                emit_cos = dot(light["ng"][:, 0], -w_el)
+                f_l = xp.where(
+                    (dsided | (emit_cos > 0))[..., None],
+                    xp.ones((n, 3), xp.float32), 0.0,
+                )
+                rev_e_t = _sa_to_area(
+                    sampling.cosine_hemisphere_pdf(xp.abs(emit_cos)),
+                    pl, pe, eye["ns"][:, t], xp,
+                )
+            else:
+                l_params = _params_at(light, s)
+                l_frame = bsdf_mod.make_frame(light["ns"][:, s])
+                f_l = bsdf_mod.eval_world(l_params, l_frame, light["wo"][:, s], -w_el)
+                rev_e_t = _sa_to_area(
+                    bsdf_mod.pdf_world(l_params, l_frame, light["wo"][:, s], -w_el),
+                    pl, pe, eye["ns"][:, t], xp,
+                )
+            # light vertex s generated from eye vertex t:
+            rev_l_s = _sa_to_area(
+                bsdf_mod.pdf_world(e_params, e_frame, eye["wo"][:, t], w_el),
+                pe, pl, light["ns"][:, s], xp,
+            )
+            # eye vertex t-1 generated from eye vertex t (incoming = conn):
+            if t >= 1:
+                w_e_back = normalize(eye["p"][:, t - 1] - pe, eps=1e-20) \
+                    if t >= 1 else w_el
+                rev_e_tm1 = _sa_to_area(
+                    bsdf_mod.pdf_world(e_params, e_frame, w_el, w_e_back),
+                    pe, eye["p"][:, max(t - 1, 0)],
+                    eye["ns"][:, max(t - 1, 0)], xp,
+                )
+            else:
+                rev_e_tm1 = xp.zeros((n,), xp.float32)
+            # light vertex s-1 generated from light vertex s (incoming = conn):
+            if s >= 1:
+                w_l_back = normalize(light["p"][:, s - 1] - pl, eps=1e-20)
+                rev_l_sm1 = _sa_to_area(
+                    bsdf_mod.pdf_world(l_params, l_frame, -w_el, w_l_back),
+                    pl, light["p"][:, s - 1], light["ns"][:, s - 1], xp,
+                )
+            else:
+                rev_l_sm1 = xp.zeros((n,), xp.float32)
+
+            contrib = (
+                eye["beta"][:, t] * f_e * light["beta"][:, s] * f_l * g[..., None]
+            )
+            ok = (
+                e_scatterable
+                & light["valid"][:, s]
+                & (xp.max(contrib, axis=-1) > 0.0)
+            )
+            # visibility
+            o_sh = pe + w_el * (
+                RAY_EPS / xp.maximum(xp.abs(dot(eye["ng"][:, t], w_el)), 1e-4)
+            )[..., None]
+            occluded = occlude_fn(
+                o_sh, w_el, xp.zeros((n,), xp.float32), dist * (1.0 - SHADOW_EPS)
+            )
+            w = _mis_weight(
+                eye, light, s, t, rev_e_t, rev_e_tm1, rev_l_s, rev_l_sm1,
+                cfg.light_depth, xp,
+            )
+            L = L + contrib * (ok & ~occluded)[..., None] * w[..., None]
+
+    if cfg.ray_clamp > 0:
+        L = xp.minimum(L, cfg.ray_clamp)
+    return xp.where(xp.isfinite(L), L, 0.0)
+
+
+def render_bdpt(scene, camera, cfg, seed=0):
+    """Full-frame BDPT render -> [H, W, 3] (JAX)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = camera.width * camera.height
+    pixel_idx = jnp.arange(n, dtype=jnp.uint32)
+    intersect_fn, occlude_fn = _jax_intersectors(scene)
+
+    def body(acc, smp):
+        li = trace_bdpt(
+            scene, camera, cfg, seed, smp, pixel_idx,
+            intersect_fn, occlude_fn, jnp,
+        )
+        return acc + li, None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((n, 3), jnp.float32),
+        jnp.arange(cfg.spp, dtype=jnp.uint32),
+    )
+    return (acc / cfg.spp).reshape(camera.height, camera.width, 3)

@@ -145,6 +145,19 @@ def _path(fields, base_dir="."):
     )
 
 
+@register_node("BDPT")
+def _bdpt(fields, base_dir="."):
+    from ..integrators.bdpt import BDPTConfig
+
+    return BDPTConfig(
+        spp=int(fields.get("spp", 16)),
+        eye_depth=int(fields.get("eye_depth", fields.get("max_depth", 4))),
+        light_depth=int(fields.get("light_depth", 3)),
+        ray_clamp=float(fields.get("ray_clamp", 20.0)),
+        max_vertices=int(fields.get("max_vertices", 0)),
+    )
+
+
 @register_node("AO")
 def _ao(fields, base_dir="."):
     return AOConfig(

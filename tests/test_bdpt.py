@@ -1,0 +1,52 @@
+"""BDPT vs unidirectional path tracer: both are unbiased estimators of the
+same transport, so converged images must agree."""
+
+import numpy as np
+import pytest
+
+from akari_tpu.integrators.bdpt import BDPTConfig, render_bdpt
+from akari_tpu.integrators.path import PathConfig, render
+from akari_tpu.scene.builtin import cornell_box
+
+
+@pytest.fixture(scope="module")
+def setup():
+    sc = cornell_box(10, 10)
+    return sc, sc.compile(intersector="bvh")
+
+
+def test_bdpt_matches_path_tracer(setup):
+    sc, scene = setup
+    # path length parity: PT max_depth=2 gives up to 3 surface vertices
+    # (2 scatters); BDPT eye_depth=3 (3 eye vertices) + light_depth up to 2
+    # covers the same path lengths.
+    img_pt = np.asarray(
+        render(scene, sc.camera, PathConfig(spp=96, max_depth=2, mis=True,
+                                            ray_clamp=50.0), seed=0)
+    )
+    # max_vertices=3 matches PT max_depth=2 (3 surface vertices per path)
+    img_bd = np.asarray(
+        render_bdpt(scene, sc.camera,
+                    BDPTConfig(spp=96, eye_depth=3, light_depth=2,
+                               ray_clamp=50.0, max_vertices=3), seed=1)
+    )
+    assert np.all(np.isfinite(img_bd))
+    m_pt, m_bd = float(img_pt.mean()), float(img_bd.mean())
+    assert m_bd > 0.01
+    # means agree within MC tolerance
+    assert abs(m_pt - m_bd) < 0.12 * max(m_pt, m_bd), (m_pt, m_bd)
+    # per-pixel agreement is looser (different estimators, finite spp)
+    bright = img_pt.mean(-1) > 0.05
+    rel = np.abs(img_bd - img_pt).mean(-1)[bright] / img_pt.mean(-1)[bright]
+    assert float(np.median(rel)) < 0.5
+
+
+def test_bdpt_weights_bounded(setup):
+    """BDPT image must not blow up (weights in [0,1] keep variance sane)."""
+    sc, scene = setup
+    img = np.asarray(
+        render_bdpt(scene, sc.camera,
+                    BDPTConfig(spp=8, eye_depth=2, light_depth=2), seed=0)
+    )
+    assert np.all(np.isfinite(img))
+    assert float(img.max()) < 60.0
