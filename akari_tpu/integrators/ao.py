@@ -56,7 +56,7 @@ def render_ao(scene, camera, cfg, seed=0):
 
     n = camera.width * camera.height
     pixel_idx = jnp.arange(n, dtype=jnp.uint32)
-    intersect_fn, occlude_fn = _jax_intersectors(scene)
+    intersect_fn, occlude_fn, fused_fn = _jax_intersectors(scene)
 
     def body(acc, s):
         li = trace_ao(

@@ -513,7 +513,7 @@ def render_bdpt(scene, camera, cfg, seed=0):
 
     n = camera.width * camera.height
     pixel_idx = jnp.arange(n, dtype=jnp.uint32)
-    intersect_fn, occlude_fn = _jax_intersectors(scene)
+    intersect_fn, occlude_fn, fused_fn = _jax_intersectors(scene)
 
     def body(acc, smp):
         li = trace_bdpt(

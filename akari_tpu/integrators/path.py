@@ -134,12 +134,17 @@ def trace_paths(
     intersect_fn,
     occlude_fn,
     xp,
+    fused_fn=None,
 ):
     """Trace one sample per pixel; returns [N,3] radiance.
 
     ``intersect_fn(o, d) -> (t, prim, uv, valid)``;
     ``occlude_fn(o, d, t_min, t_max) -> occluded`` — injected so the same
     code runs on JAX (BVH/Pallas) and NumPy (oracle brute force).
+    ``fused_fn(shadow_o, shadow_d, shadow_tmax, o2, d2) -> (occluded, hit)``
+    optionally answers a bounce's shadow ray and the next extension ray in
+    a single batched launch (the dense Pallas intersector benefits; the
+    ray sets and RNG streams are identical either way).
     """
     o, d = camera_rays(camera, seed, sample_idx, pixel_idx, xp)
     n = o.shape[0]
@@ -148,9 +153,10 @@ def trace_paths(
     active = xp.ones((n,), bool)
     prev_pdf = xp.zeros((n,), xp.float32)
 
+    hit = intersect_fn(o, d)
     for bounce in range(cfg.max_depth + 1):
         last = bounce == cfg.max_depth
-        t, prim, bary, valid = intersect_fn(o, d)
+        t, prim, bary, valid = hit
         active = active & valid
 
         p, ng, ns, uv, mat_id = _surface_data(scene, prim, bary, xp)
@@ -184,8 +190,9 @@ def trace_paths(
         frame = bsdf_mod.make_frame(ns)
         scatterable = active & (params["kind"] != bsdf_mod.CLOSURE_NULL)
 
-        # ---- next-event estimation (ref: pathtracer.h:69-91) ----
-        if scene.lights.n_lights > 0 and cfg.mis != "bsdf":
+        # ---- next-event estimation setup (ref: pathtracer.h:69-91) ----
+        do_nee = scene.lights.n_lights > 0 and cfg.mis != "bsdf"
+        if do_nee:
             u_sel = rng.uniform(
                 seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_LIGHT_SELECT)
             )
@@ -203,17 +210,12 @@ def trace_paths(
                 & xp.any(nee_contrib > 0.0, axis=-1)
             )
             shadow_o = p + ls.wi * (RAY_EPS / xp.maximum(xp.abs(dot(ng, ls.wi)), 1e-4))[..., None]
-            occluded = occlude_fn(
-                shadow_o, ls.wi,
-                xp.zeros((n,), xp.float32),
-                ls.dist * (1.0 - SHADOW_EPS),
-            )
+            shadow_tmax = ls.dist * (1.0 - SHADOW_EPS)
             if cfg.mis:
                 pdf_bsdf_nee = bsdf_mod.pdf_world(params, frame, wo, ls.wi)
                 w_nee = sampling.power_heuristic(ls.pdf, pdf_bsdf_nee)
             else:
                 w_nee = xp.ones((n,), xp.float32)
-            L = L + nee_contrib * (useful & ~occluded)[..., None] * w_nee[..., None]
 
         # ---- BSDF sampling (ref: pathtracer.h on_surface_scatter) ----
         u_bsdf = rng.uniform2(
@@ -237,6 +239,19 @@ def trace_paths(
 
         o = p + wi * (RAY_EPS / xp.maximum(xp.abs(dot(ng, wi)), 1e-4))[..., None]
         d = wi
+
+        # ---- shadow + next extension rays (one fused launch if possible) ----
+        if do_nee and fused_fn is not None:
+            occluded, hit = fused_fn(shadow_o, ls.wi, shadow_tmax, o, d)
+        else:
+            if do_nee:
+                occluded = occlude_fn(
+                    shadow_o, ls.wi, xp.zeros((n,), xp.float32), shadow_tmax
+                )
+            hit = intersect_fn(o, d)
+        if do_nee:
+            L = L + nee_contrib * (useful & ~occluded)[..., None] * w_nee[..., None]
+
         prev_pdf = pdf
         active = ok
 
@@ -250,7 +265,7 @@ def trace_paths(
 def _jax_intersectors(scene):
     import jax.numpy as jnp
 
-    from ..ops.intersect import intersect, occlude
+    from ..ops.intersect import T_MAX, intersect, occlude
 
     def intersect_fn(o, d):
         h = intersect(scene, o, d)
@@ -259,7 +274,24 @@ def _jax_intersectors(scene):
     def occlude_fn(o, d, t_min, t_max):
         return occlude(scene, o, d, t_min, t_max)
 
-    return intersect_fn, occlude_fn
+    fused_fn = None
+    if scene.intersector == "pallas":
+        # One dense launch answers N shadow rays + N extension rays: the
+        # ray-stream kernel has no any-hit early-out to lose, so merging
+        # halves the number of launches per bounce.
+        def fused_fn(shadow_o, shadow_d, shadow_tmax, o2, d2):
+            n = o2.shape[0]
+            o = jnp.concatenate([shadow_o, o2], axis=0)
+            d = jnp.concatenate([shadow_d, d2], axis=0)
+            t_max = jnp.concatenate(
+                [shadow_tmax, jnp.full((n,), T_MAX, jnp.float32)]
+            )
+            h = intersect(scene, o, d, t_max=t_max)
+            occluded = h.valid[:n]
+            hit = (h.t[n:], h.prim[n:], h.uv[n:], h.valid[n:])
+            return occluded, hit
+
+    return intersect_fn, occlude_fn, fused_fn
 
 
 def render_sample(scene, camera, cfg, seed, sample_idx, pixel_idx=None):
@@ -269,10 +301,10 @@ def render_sample(scene, camera, cfg, seed, sample_idx, pixel_idx=None):
     n = camera.width * camera.height
     if pixel_idx is None:
         pixel_idx = jnp.arange(n, dtype=jnp.uint32)
-    intersect_fn, occlude_fn = _jax_intersectors(scene)
+    intersect_fn, occlude_fn, fused_fn = _jax_intersectors(scene)
     return trace_paths(
         scene, camera, cfg, seed, sample_idx, pixel_idx,
-        intersect_fn, occlude_fn, jnp,
+        intersect_fn, occlude_fn, jnp, fused_fn=fused_fn,
     )
 
 
@@ -301,14 +333,14 @@ def trace_accumulate(scene, camera, cfg, seed, base_pixel_idx, sample_offset=0):
     sample_off = jnp.repeat(
         jnp.arange(chunk, dtype=jnp.uint32), n
     )
-    intersect_fn, occlude_fn = _jax_intersectors(scene)
+    intersect_fn, occlude_fn, fused_fn = _jax_intersectors(scene)
 
     def body(acc_count, c):
         acc, count = acc_count
         sample_idx = sample_off + c * chunk + jnp.uint32(sample_offset)
         li = trace_paths(
             scene, camera, cfg, seed, sample_idx, pixel_idx,
-            intersect_fn, occlude_fn, jnp,
+            intersect_fn, occlude_fn, jnp, fused_fn=fused_fn,
         )
         # only samples < offset+spp contribute (last chunk may be partial)
         w = (sample_idx < sample_offset + cfg.spp).astype(jnp.float32)[:, None]

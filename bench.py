@@ -5,6 +5,10 @@ The baseline denominator is the reference's only stated CPU throughput
 figure, 0.5 M rays/s (ref: src/akari/kernel/integrators/cpu/
 integrator.cpp:102 — a hard-coded progress-cadence estimate; the reference
 publishes no measured numbers, see BASELINE.md).
+
+Timing: the remote-TPU tunnel makes jax.block_until_ready unreliable, so
+we amortize N in-order dispatches and force completion with one scalar
+fetch (device executes in order; the ~25 ms fetch round-trip amortizes out).
 """
 
 import json
@@ -28,7 +32,7 @@ def main():
     cfg = PathConfig(spp=spp, max_depth=max_depth)
 
     sc = cornell_box(width, height)
-    scene = jax.device_put(sc.compile(intersector="bvh"))
+    scene = jax.device_put(sc.compile(intersector="auto"))
     camera = sc.camera
     mesh = make_ray_mesh()
     target = jnp.zeros((height, width, 3), jnp.float32)
@@ -41,15 +45,19 @@ def main():
 
     step = jax.jit(jax.value_and_grad(loss_fn))
 
-    # warmup/compile
-    out = step(params)
-    jax.block_until_ready(out)
+    def run_once(p):
+        loss, grads = step(p)
+        return loss
 
-    iters = 5
+    # warmup/compile + full completion via scalar fetch
+    float(run_once(params))
+
+    iters = 10
     t0 = time.perf_counter()
+    last = None
     for _ in range(iters):
-        out = step(params)
-    jax.block_until_ready(out)
+        last = run_once(params)
+    float(last)  # fetch forces completion of the in-order queue
     dt = (time.perf_counter() - t0) / iters
 
     # rays per fwd+bwd step: camera + bounce extension rays + shadow rays
