@@ -193,11 +193,24 @@ def _run(rays, tris, any_hit, interpret=False):
     )(rays, tris)
 
 
+# Above this triangle count the dense all-pairs sweep loses to the
+# cluster-skip kernel (which only streams AABB-hit triangle blocks).
+DENSE_MAX_TRIS = 4096
+
+
 def intersect_pallas(scene, o, d, t_min, t_max, any_hit=False):
     """Entry used by ops.intersect dispatch (scene.intersector == 'pallas')."""
     tris = pack_tris(scene.tri_v0, scene.tri_e1, scene.tri_e2)
     rays, n, pad = _pack_rays(o, d, t_min, t_max)
-    out = _run(rays, tris, any_hit, interpret=INTERPRET)
+    if scene.tri_v0.shape[0] > DENSE_MAX_TRIS and scene.tri_clusters is not None:
+        from .pallas_cluster import run_clustered
+
+        out = run_clustered(
+            rays, tris, jnp.asarray(scene.tri_clusters), any_hit,
+            interpret=INTERPRET,
+        )
+    else:
+        out = _run(rays, tris, any_hit, interpret=INTERPRET)
     out = out[:n]
     if any_hit:
         return out[:, 0] > 0.5

@@ -137,6 +137,8 @@ class SceneArrays:
     textures: TextureTable
     lights: LightTable
     bvh: BVHArrays
+    # [K, 8] AABBs over 128-triangle BVH-ordered runs (ops/pallas_cluster.py)
+    tri_clusters: jax.Array = None
     n_tris: int = 0
     n_materials: int = 0
     intersector: str = "bvh"  # "brute" | "bvh" | "pallas"

@@ -328,9 +328,10 @@ def compile_scene(shapes, intersector="bvh"):
     p, n, uv, face_mat = p[order], n[order], uv[order], face_mat[order]
 
     if intersector == "auto":
-        # the dense Pallas ray-stream kernel beats traversal until the
-        # O(N*T) term dominates; crossover measured on v5e (~8k tris)
-        intersector = "pallas" if p.shape[0] <= 8192 else "bvh"
+        # dense Pallas ray-stream for small scenes, cluster-skip Pallas for
+        # mid scenes (both under the 'pallas' dispatch), XLA threaded-BVH
+        # traversal for very large ones (cluster-list scans go linear in T)
+        intersector = "pallas" if p.shape[0] <= 200_000 else "bvh"
 
     v0 = p[:, 0]
     e1 = p[:, 1] - p[:, 0]
@@ -367,10 +368,15 @@ def compile_scene(shapes, intersector="bvh"):
             n_lights=0,
         )
 
+    from ..ops.pallas_cluster import build_clusters
+
+    clusters = build_clusters(v0, e1, e2)
+
     return SceneArrays(
         tri_v0=v0.astype(np.float32),
         tri_e1=e1.astype(np.float32),
         tri_e2=e2.astype(np.float32),
+        tri_clusters=clusters,
         normals=n.astype(np.float32),
         uvs=uv.astype(np.float32),
         mat_id=face_mat,

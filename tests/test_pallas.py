@@ -117,3 +117,37 @@ def test_native_bvh_builder_matches_python():
     np.testing.assert_allclose(
         np.asarray(hn.t), np.asarray(hb.t), rtol=1e-5, atol=1e-4
     )
+
+
+def test_cluster_kernel_matches_brute():
+    """Cluster-skip kernel (interpret mode) vs brute force on a mid scene."""
+    from akari_tpu.scene.nodes import Mesh, compile_scene
+
+    r = np.random.default_rng(9)
+    n_tri = 6000  # > DENSE_MAX_TRIS -> clustered path
+    base = r.uniform(-4, 4, size=(n_tri, 1, 3))
+    tris = (base + r.normal(scale=0.15, size=(n_tri, 3, 3))).astype(np.float32)
+    verts = tris.reshape(-1, 3)
+    idx = np.arange(verts.shape[0]).reshape(-1, 3)
+    mesh = Mesh(vertices=verts, indices=idx)
+    scene_p = compile_scene([mesh], intersector="pallas")
+    scene_b = compile_scene([mesh], intersector="brute")
+    assert scene_p.tri_clusters.shape[0] == (n_tri + 127) // 128
+
+    rr = np.random.default_rng(2)
+    nr = 256
+    o = jnp.asarray(rr.uniform(-5, 5, size=(nr, 3)).astype(np.float32))
+    d = rr.normal(size=(nr, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    hp = intersect(scene_p, o, d)
+    hb = intersect(scene_b, o, d)
+    np.testing.assert_array_equal(np.asarray(hp.valid), np.asarray(hb.valid))
+    np.testing.assert_array_equal(np.asarray(hp.prim), np.asarray(hb.prim))
+    ok = np.asarray(hb.valid)
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[ok], np.asarray(hb.t)[ok], rtol=1e-5, atol=1e-5
+    )
+    op = occlude(scene_p, o, d, 0.0, 1e30)
+    ob = occlude(scene_b, o, d, 0.0, 1e30)
+    np.testing.assert_array_equal(np.asarray(op), np.asarray(ob))
