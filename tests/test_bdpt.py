@@ -50,3 +50,41 @@ def test_bdpt_weights_bounded(setup):
     )
     assert np.all(np.isfinite(img))
     assert float(img.max()) < 60.0
+
+
+def test_bdpt_jax_matches_numpy_oracle(setup):
+    """BDPT is backend-generic: jnp and numpy runs on matched seeds agree."""
+    import jax.numpy as jnp
+
+    from akari_tpu.integrators.bdpt import trace_bdpt
+    from akari_tpu.integrators.path import _jax_intersectors
+    from akari_tpu.oracle.renderer import _intersect_brute_np, _to_numpy
+    from akari_tpu.ops.intersect import T_MAX
+
+    sc, _ = setup
+    scene = sc.compile(intersector="brute")
+    cfg = BDPTConfig(spp=1, eye_depth=2, light_depth=2)
+    n = sc.camera.width * sc.camera.height
+    pix = np.arange(n, dtype=np.uint32)
+
+    intersect_fn, occlude_fn, _ = _jax_intersectors(scene)
+    lj = np.asarray(
+        trace_bdpt(scene, sc.camera, cfg, 0, jnp.uint32(0),
+                   jnp.asarray(pix), intersect_fn, occlude_fn, jnp)
+    )
+
+    sn = _to_numpy(scene)
+
+    def np_isect(o, d):
+        return _intersect_brute_np(
+            sn, o, d, np.zeros(len(o), np.float32),
+            np.full(len(o), T_MAX, np.float32),
+        )
+
+    def np_occl(o, d, tmin, tmax):
+        _, _, _, v = _intersect_brute_np(sn, o, d, tmin, tmax)
+        return v
+
+    ln = trace_bdpt(sn, sc.camera, cfg, np.uint32(0), np.uint32(0), pix,
+                    np_isect, np_occl, np)
+    np.testing.assert_allclose(lj, ln, rtol=1e-3, atol=2e-3)
