@@ -55,6 +55,9 @@ class PathConfig:
     mis: object = True
     ray_clamp: float = 10.0   # firefly clamp on per-sample radiance (ref: ray_clamp)
     rr_start: int = 100       # russian roulette start depth (off by default)
+    # True unrolls the bounce loop in the traced program (lets XLA
+    # specialize per bounce, ~max_depth x the compile time); False scans.
+    unroll: bool = False
 
 
 def _pixel_centers(width, height, pixel_idx, jitter, xp):
@@ -154,112 +157,155 @@ def trace_paths(
     prev_pdf = xp.zeros((n,), xp.float32)
 
     hit = intersect_fn(o, d)
-    for bounce in range(cfg.max_depth + 1):
-        last = bounce == cfg.max_depth
-        t, prim, bary, valid = hit
-        active = active & valid
+    state = (hit, o, d, L, beta, active, prev_pdf)
 
-        p, ng, ns, uv, mat_id = _surface_data(scene, prim, bary, xp)
-        wo = -d
+    if xp is not np and not cfg.unroll and cfg.max_depth > 1:
+        # lax.scan over the bounce axis: one copy of the bounce graph in
+        # the program instead of max_depth copies — cuts compile time
+        # ~max_depth-fold. The body is identical to the unrolled path
+        # (bounce-dependent logic is branchless), so radiance matches the
+        # unrolled/oracle result bit-for-bit up to reduction order.
+        import jax
 
-        # ---- emission at this vertex (ref: pathtracer.h:102-111) ----
-        Le = mat_mod.emission(scene.materials, scene.textures, mat_id, uv)
-        double_sided = mat_mod.emissive_double_sided(scene.materials, mat_id)
-        front = dot(d, ng) < 0.0
-        emit_ok = double_sided | front
-        if bounce == 0 or cfg.mis == "bsdf":
-            w_emit = xp.ones((n,), xp.float32)
-        elif cfg.mis:
-            nee_pdf = light_mod.pdf_direction(scene, prim, d, t, ng, double_sided)
-            w_emit = sampling.power_heuristic(prev_pdf, nee_pdf)
-        else:
-            w_emit = xp.zeros((n,), xp.float32)
-        L = L + beta * Le * (active & emit_ok)[..., None] * w_emit[..., None]
+        def body(st, bounce):
+            return _bounce_step(
+                scene, cfg, seed, sample_idx, pixel_idx, st, bounce,
+                intersect_fn, occlude_fn, fused_fn, xp,
+            ), None
 
-        if last:
-            break
-
-        # ---- material selection + closure (ref: material.h:255-297) ----
-        u_mix = rng.uniform(seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_MIX))
-        leaf, choice_pdf = mat_mod.select_material(
-            scene.materials, scene.textures, mat_id, u_mix, uv
+        state, _ = jax.lax.scan(
+            body, state, xp.arange(cfg.max_depth, dtype=xp.int32)
         )
-        params = mat_mod.closure_params(
-            scene.materials, scene.textures, leaf, choice_pdf, uv
-        )
-        frame = bsdf_mod.make_frame(ns)
-        scatterable = active & (params["kind"] != bsdf_mod.CLOSURE_NULL)
-
-        # ---- next-event estimation setup (ref: pathtracer.h:69-91) ----
-        do_nee = scene.lights.n_lights > 0 and cfg.mis != "bsdf"
-        if do_nee:
-            u_sel = rng.uniform(
-                seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_LIGHT_SELECT)
+    else:
+        for bounce in range(cfg.max_depth):
+            state = _bounce_step(
+                scene, cfg, seed, sample_idx, pixel_idx, state, bounce,
+                intersect_fn, occlude_fn, fused_fn, xp,
             )
-            u_pos = rng.uniform2(
-                seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_LIGHT_U)
-            )
-            ls = light_mod.sample(scene, u_sel, u_pos, p)
-            f_nee = bsdf_mod.eval_world(params, frame, wo, ls.wi)
-            cos_nee = xp.abs(dot(ns, ls.wi))
-            contrib_scale = xp.where(ls.pdf > 1e-12, 1.0 / xp.maximum(ls.pdf, 1e-12), 0.0)
-            nee_contrib = beta * f_nee * ls.L * (cos_nee * contrib_scale)[..., None]
-            useful = (
-                scatterable
-                & ls.valid
-                & xp.any(nee_contrib > 0.0, axis=-1)
-            )
-            shadow_o = p + ls.wi * (RAY_EPS / xp.maximum(xp.abs(dot(ng, ls.wi)), 1e-4))[..., None]
-            shadow_tmax = ls.dist * (1.0 - SHADOW_EPS)
-            if cfg.mis:
-                pdf_bsdf_nee = bsdf_mod.pdf_world(params, frame, wo, ls.wi)
-                w_nee = sampling.power_heuristic(ls.pdf, pdf_bsdf_nee)
-            else:
-                w_nee = xp.ones((n,), xp.float32)
-
-        # ---- BSDF sampling (ref: pathtracer.h on_surface_scatter) ----
-        u_bsdf = rng.uniform2(
-            seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_BSDF_U)
-        )
-        wi, f, pdf = bsdf_mod.sample_world(params, frame, wo, u_bsdf)
-        cos_wi = xp.abs(dot(ns, wi))
-        ok = scatterable & (pdf > 1e-9)
-        throughput = f * (cos_wi / xp.maximum(pdf, 1e-9))[..., None]
-        beta = xp.where(ok[..., None], beta * throughput, beta)
-
-        # russian roulette (new capability; off by default to match ref)
-        if bounce >= cfg.rr_start:
-            u_rr = rng.uniform(
-                seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_RR)
-            )
-            q = xp.clip(xp.max(beta, axis=-1), 0.05, 1.0)
-            survive = u_rr < q
-            beta = beta / q[..., None]
-            ok = ok & survive
-
-        o = p + wi * (RAY_EPS / xp.maximum(xp.abs(dot(ng, wi)), 1e-4))[..., None]
-        d = wi
-
-        # ---- shadow + next extension rays (one fused launch if possible) ----
-        if do_nee and fused_fn is not None:
-            occluded, hit = fused_fn(shadow_o, ls.wi, shadow_tmax, o, d)
-        else:
-            if do_nee:
-                occluded = occlude_fn(
-                    shadow_o, ls.wi, xp.zeros((n,), xp.float32), shadow_tmax
-                )
-            hit = intersect_fn(o, d)
-        if do_nee:
-            L = L + nee_contrib * (useful & ~occluded)[..., None] * w_nee[..., None]
-
-        prev_pdf = pdf
-        active = ok
+    L = _emission_term(scene, cfg, state, cfg.max_depth, xp)
 
     if cfg.ray_clamp > 0.0:
         L = xp.minimum(L, cfg.ray_clamp)
     # kill NaN/Inf lanes defensively (ref clamps too)
     L = xp.where(xp.isfinite(L), L, 0.0)
     return L
+
+
+def _emission_term(scene, cfg, state, bounce, xp):
+    """Add this vertex's (MIS-weighted) emission to L and return it
+    (ref: pathtracer.h:102-111). ``bounce`` may be traced (scan) or int."""
+    (t, prim, bary, valid), o, d, L, beta, active, prev_pdf = state
+    active = active & valid
+    p, ng, ns, uv, mat_id = _surface_data(scene, prim, bary, xp)
+    Le = mat_mod.emission(scene.materials, scene.textures, mat_id, uv)
+    double_sided = mat_mod.emissive_double_sided(scene.materials, mat_id)
+    front = dot(d, ng) < 0.0
+    emit_ok = double_sided | front
+    n = o.shape[0]
+    if cfg.mis == "bsdf":
+        w_emit = xp.ones((n,), xp.float32)
+    else:
+        if cfg.mis:
+            nee_pdf = light_mod.pdf_direction(scene, prim, d, t, ng, double_sided)
+            later = sampling.power_heuristic(prev_pdf, nee_pdf)
+        else:
+            later = xp.zeros((n,), xp.float32)
+        is_first = xp.asarray(bounce, xp.int32) == 0
+        w_emit = xp.where(is_first, xp.ones((n,), xp.float32), later)
+    return L + beta * Le * (active & emit_ok)[..., None] * w_emit[..., None]
+
+
+def _bounce_step(scene, cfg, seed, sample_idx, pixel_idx, state, bounce,
+                 intersect_fn, occlude_fn, fused_fn, xp):
+    """One full path-vertex step: emission + NEE + BSDF-sample + next hit.
+
+    ``bounce`` may be a traced scalar (lax.scan) or a python int (the
+    unrolled/oracle path) — all bounce-dependent logic is branchless.
+    """
+    L = _emission_term(scene, cfg, state, bounce, xp)
+    (t, prim, bary, valid), o, d, _, beta, active, prev_pdf = state
+    active = active & valid
+    n = o.shape[0]
+    p, ng, ns, uv, mat_id = _surface_data(scene, prim, bary, xp)
+    wo = -d
+
+    # ---- material selection + closure (ref: material.h:255-297) ----
+    u_mix = rng.uniform(seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_MIX))
+    leaf, choice_pdf = mat_mod.select_material(
+        scene.materials, scene.textures, mat_id, u_mix, uv
+    )
+    params = mat_mod.closure_params(
+        scene.materials, scene.textures, leaf, choice_pdf, uv
+    )
+    frame = bsdf_mod.make_frame(ns)
+    scatterable = active & (params["kind"] != bsdf_mod.CLOSURE_NULL)
+
+    # ---- next-event estimation setup (ref: pathtracer.h:69-91) ----
+    do_nee = scene.lights.n_lights > 0 and cfg.mis != "bsdf"
+    if do_nee:
+        u_sel = rng.uniform(
+            seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_LIGHT_SELECT)
+        )
+        u_pos = rng.uniform2(
+            seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_LIGHT_U)
+        )
+        ls = light_mod.sample(scene, u_sel, u_pos, p)
+        f_nee = bsdf_mod.eval_world(params, frame, wo, ls.wi)
+        cos_nee = xp.abs(dot(ns, ls.wi))
+        contrib_scale = xp.where(ls.pdf > 1e-12, 1.0 / xp.maximum(ls.pdf, 1e-12), 0.0)
+        nee_contrib = beta * f_nee * ls.L * (cos_nee * contrib_scale)[..., None]
+        useful = (
+            scatterable
+            & ls.valid
+            & xp.any(nee_contrib > 0.0, axis=-1)
+        )
+        shadow_o = p + ls.wi * (RAY_EPS / xp.maximum(xp.abs(dot(ng, ls.wi)), 1e-4))[..., None]
+        shadow_tmax = ls.dist * (1.0 - SHADOW_EPS)
+        if cfg.mis:
+            pdf_bsdf_nee = bsdf_mod.pdf_world(params, frame, wo, ls.wi)
+            w_nee = sampling.power_heuristic(ls.pdf, pdf_bsdf_nee)
+        else:
+            w_nee = xp.ones((n,), xp.float32)
+
+    # ---- BSDF sampling (ref: pathtracer.h on_surface_scatter) ----
+    u_bsdf = rng.uniform2(
+        seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_BSDF_U)
+    )
+    wi, f, pdf = bsdf_mod.sample_world(params, frame, wo, u_bsdf)
+    cos_wi = xp.abs(dot(ns, wi))
+    ok = scatterable & (pdf > 1e-9)
+    throughput = f * (cos_wi / xp.maximum(pdf, 1e-9))[..., None]
+    beta = xp.where(ok[..., None], beta * throughput, beta)
+
+    # russian roulette (new capability; off by default to match ref).
+    # Enabled statically when rr can trigger within max_depth; the
+    # per-bounce gate is branchless (bounce may be traced).
+    if cfg.rr_start < cfg.max_depth:
+        u_rr = rng.uniform(
+            seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_RR)
+        )
+        q = xp.clip(xp.max(beta, axis=-1), 0.05, 1.0)
+        rr_on = xp.asarray(bounce, xp.int32) >= cfg.rr_start  # 0-d bool
+        survive = xp.where(rr_on, u_rr < q, True)
+        beta = xp.where(rr_on, beta / q[..., None], beta)
+        ok = ok & survive
+
+    o = p + wi * (RAY_EPS / xp.maximum(xp.abs(dot(ng, wi)), 1e-4))[..., None]
+    d = wi
+
+    # ---- shadow + next extension rays (one fused launch if possible) ----
+    if do_nee and fused_fn is not None:
+        occluded, hit = fused_fn(shadow_o, ls.wi, shadow_tmax, o, d)
+    else:
+        if do_nee:
+            occluded = occlude_fn(
+                shadow_o, ls.wi, xp.zeros((n,), xp.float32), shadow_tmax
+            )
+        hit = intersect_fn(o, d)
+    if do_nee:
+        L = L + nee_contrib * (useful & ~occluded)[..., None] * w_nee[..., None]
+
+    return (hit, o, d, L, beta, ok, pdf)
 
 
 def _jax_intersectors(scene):

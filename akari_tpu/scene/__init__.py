@@ -5,6 +5,7 @@ from .nodes import (
     DiffuseMaterial,
     GlossyMaterial,
     EmissiveMaterial,
+    MirrorMaterial,
     MixMaterial,
     Mesh,
     Scene,

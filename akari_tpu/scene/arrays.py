@@ -25,6 +25,7 @@ MAT_DIFFUSE = 0
 MAT_GLOSSY = 1
 MAT_EMISSIVE = 2
 MAT_MIX = 3
+MAT_MIRROR = 4
 
 # Texture kinds (ref: Texture variant, kernel/texture.h:57)
 TEX_CONSTANT = 0

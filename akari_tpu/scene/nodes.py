@@ -27,6 +27,7 @@ from .arrays import (
     MAT_DIFFUSE,
     MAT_EMISSIVE,
     MAT_GLOSSY,
+    MAT_MIRROR,
     MAT_MIX,
     MaterialTable,
     SceneArrays,
@@ -86,6 +87,15 @@ class GlossyMaterial:
 class EmissiveMaterial:
     color: object = (1.0, 1.0, 1.0)
     double_sided: bool = False
+
+
+@dataclass
+class MirrorMaterial:
+    """Perfect mirror (delta reflection with a tint). New closure vs the
+    reference, whose data ships a CornellBox-Mirror scene but whose code has
+    no specular BSDF (kernel/material.h has Diffuse+Microfacet only)."""
+
+    color: object = (0.9, 0.9, 0.9)
 
 
 @dataclass
@@ -241,6 +251,9 @@ def _compile_textures_materials(materials):
             kind[i] = MAT_EMISSIVE
             color_tex[i] = tex_id(m.color)
             double_sided[i] = bool(m.double_sided)
+        elif isinstance(m, MirrorMaterial):
+            kind[i] = MAT_MIRROR
+            color_tex[i] = tex_id(m.color)
         elif isinstance(m, MixMaterial):
             kind[i] = MAT_MIX
             fraction_tex[i] = tex_id(m.fraction)

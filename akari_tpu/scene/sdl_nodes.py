@@ -23,6 +23,7 @@ from .nodes import (
     GlossyMaterial,
     ImageTexture,
     Mesh,
+    MirrorMaterial,
     MixMaterial,
     Scene,
 )
@@ -85,6 +86,11 @@ def _emissive(fields, base_dir="."):
         color=_texture(fields.get("color", 1.0), base_dir),
         double_sided=bool(fields.get("double_sided", False)),
     )
+
+
+@register_node("MirrorMaterial")
+def _mirror(fields, base_dir="."):
+    return MirrorMaterial(color=_texture(fields.get("color", 0.9), base_dir))
 
 
 @register_node("MixMaterial")

@@ -35,8 +35,14 @@ from . import microfacet as mf
 CLOSURE_NULL = -1
 CLOSURE_DIFFUSE = 0
 CLOSURE_MICROFACET = 1
+CLOSURE_SPECULAR = 2  # perfect mirror (delta)
 
 INV_PI = 1.0 / np.pi
+
+# Delta distributions report this as their sample pdf. The sampled f is
+# scaled by the same constant so throughput f*cos/pdf is exact, while MIS
+# power weights against any finite area/solid-angle pdf evaluate to ~1.
+DELTA_PDF = np.float32(1e8)
 
 
 # --------------------------- local-frame closures --------------------------
@@ -107,6 +113,17 @@ def _micro_sample(color, dist, alpha, wo, u):
     return wi, f, pdf
 
 
+def _specular_sample(color, wo):
+    """Perfect mirror: delta reflection about the shading normal."""
+    xp = _xp(wo)
+    z_flip = xp.asarray([-1.0, -1.0, 1.0], xp.float32)
+    wi = wo * z_flip
+    cos_i = xp.maximum(abs_cos_theta(wi), 1e-6)
+    f = color * (DELTA_PDF / cos_i)[..., None]
+    pdf = xp.full(wo.shape[:-1], DELTA_PDF, xp.float32)
+    return wi, f, pdf
+
+
 # ------------------------------ dispatch ----------------------------------
 
 def eval_local(params, wo, wi):
@@ -115,7 +132,9 @@ def eval_local(params, wo, wi):
     fm = _micro_eval(params["color"], params["dist"], params["alpha"], wo, wi)
     is_mf = (params["kind"] == CLOSURE_MICROFACET)[..., None]
     f = xp.where(is_mf, fm, fd)
-    return xp.where((params["kind"] == CLOSURE_NULL)[..., None], 0.0, f)
+    # delta closures evaluate to zero for any sampled direction
+    zero = (params["kind"] == CLOSURE_NULL) | (params["kind"] == CLOSURE_SPECULAR)
+    return xp.where(zero[..., None], 0.0, f)
 
 
 def pdf_local(params, wo, wi):
@@ -123,7 +142,8 @@ def pdf_local(params, wo, wi):
     pd = _diffuse_pdf(wo, wi)
     pm = _micro_pdf(params["dist"], params["alpha"], wo, wi)
     pdf = xp.where(params["kind"] == CLOSURE_MICROFACET, pm, pd)
-    pdf = xp.where(params["kind"] == CLOSURE_NULL, 0.0, pdf)
+    zero = (params["kind"] == CLOSURE_NULL) | (params["kind"] == CLOSURE_SPECULAR)
+    pdf = xp.where(zero, 0.0, pdf)
     return pdf * params["choice_pdf"]
 
 
@@ -133,10 +153,12 @@ def sample_local(params, wo, u):
     wi_m, f_m, p_m = _micro_sample(
         params["color"], params["dist"], params["alpha"], wo, u
     )
+    wi_s, f_s, p_s = _specular_sample(params["color"], wo)
     is_mf = params["kind"] == CLOSURE_MICROFACET
-    wi = xp.where(is_mf[..., None], wi_m, wi_d)
-    f = xp.where(is_mf[..., None], f_m, f_d)
-    pdf = xp.where(is_mf, p_m, p_d)
+    is_sp = params["kind"] == CLOSURE_SPECULAR
+    wi = xp.where(is_sp[..., None], wi_s, xp.where(is_mf[..., None], wi_m, wi_d))
+    f = xp.where(is_sp[..., None], f_s, xp.where(is_mf[..., None], f_m, f_d))
+    pdf = xp.where(is_sp, p_s, xp.where(is_mf, p_m, p_d))
     null = params["kind"] == CLOSURE_NULL
     f = xp.where(null[..., None], 0.0, f)
     pdf = xp.where(null, 0.0, pdf) * params["choice_pdf"]
@@ -165,3 +187,62 @@ def sample_world(params, frame, wo_w, u):
     t, b, n = frame
     wi_l, f, pdf = sample_local(params, to_local(t, b, n, wo_w), u)
     return to_world(t, b, n, wi_l), f, pdf
+
+
+# ---------------------- Fresnel terms (ref: bsdf-funcs.h) -------------------
+
+def fresnel_dielectric(cos_i, eta_i, eta_t):
+    """Unpolarized dielectric Fresnel reflectance.
+
+    ref: kernel/bsdf-funcs.h fr_dielectric (declared there, unused by the
+    reference's closures; provided here for the specular/transmission
+    closures and for API parity). Handles total internal reflection.
+    """
+    xp = _xp(cos_i)
+    cos_i = xp.clip(cos_i, -1.0, 1.0)
+    # swap indices when exiting
+    entering = cos_i > 0.0
+    ei = xp.where(entering, eta_i, eta_t)
+    et = xp.where(entering, eta_t, eta_i)
+    ci = xp.abs(cos_i)
+    sin_t = ei / et * xp.sqrt(xp.maximum(0.0, 1.0 - ci * ci))
+    tir = sin_t >= 1.0
+    ct = xp.sqrt(xp.maximum(0.0, 1.0 - sin_t * sin_t))
+    r_par = (et * ci - ei * ct) / xp.maximum(et * ci + ei * ct, 1e-9)
+    r_perp = (ei * ci - et * ct) / xp.maximum(ei * ci + et * ct, 1e-9)
+    fr = 0.5 * (r_par * r_par + r_perp * r_perp)
+    return xp.where(tir, 1.0, fr)
+
+
+def fresnel_conductor(cos_i, eta, k):
+    """Conductor Fresnel reflectance (ref: bsdf-funcs.h fr_conductor).
+
+    eta, k may be per-channel [..., 3] for colored metals.
+    """
+    xp = _xp(cos_i)
+    ci = xp.clip(xp.abs(cos_i), 0.0, 1.0)
+    if getattr(eta, "ndim", 0) > getattr(ci, "ndim", 0):
+        ci = ci[..., None]
+    ci2 = ci * ci
+    si2 = 1.0 - ci2
+    e2 = eta * eta
+    k2 = k * k
+    t0 = e2 - k2 - si2
+    a2b2 = xp.sqrt(xp.maximum(t0 * t0 + 4.0 * e2 * k2, 0.0))
+    t1 = a2b2 + ci2
+    a = xp.sqrt(xp.maximum(0.5 * (a2b2 + t0), 0.0))
+    t2 = 2.0 * a * ci
+    rs = (t1 - t2) / xp.maximum(t1 + t2, 1e-9)
+    t3 = ci2 * a2b2 + si2 * si2
+    t4 = t2 * si2
+    rp = rs * (t3 - t4) / xp.maximum(t3 + t4, 1e-9)
+    return 0.5 * (rp + rs)
+
+
+def fresnel_schlick(cos_i, f0):
+    """Schlick approximation (common production shorthand)."""
+    xp = _xp(cos_i)
+    m = xp.clip(1.0 - xp.abs(cos_i), 0.0, 1.0)
+    if getattr(f0, "ndim", 0) > getattr(cos_i, "ndim", 0):
+        m = m[..., None]
+    return f0 + (1.0 - f0) * (m ** 5)

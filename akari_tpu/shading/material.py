@@ -15,12 +15,18 @@ from ..scene.arrays import (
     MAT_DIFFUSE,
     MAT_EMISSIVE,
     MAT_GLOSSY,
+    MAT_MIRROR,
     MAT_MIX,
     MAX_MIX_DEPTH,
 )
 from . import microfacet as mf
 from . import texture as tex
-from .bsdf import CLOSURE_DIFFUSE, CLOSURE_MICROFACET, CLOSURE_NULL
+from .bsdf import (
+    CLOSURE_DIFFUSE,
+    CLOSURE_MICROFACET,
+    CLOSURE_NULL,
+    CLOSURE_SPECULAR,
+)
 
 
 def select_material(materials, textures, mat_id, u, uv):
@@ -65,7 +71,11 @@ def closure_params(materials, textures, leaf_id, choice_pdf, uv):
     closure_kind = xp.where(
         kind == MAT_DIFFUSE,
         CLOSURE_DIFFUSE,
-        xp.where(kind == MAT_GLOSSY, CLOSURE_MICROFACET, CLOSURE_NULL),
+        xp.where(
+            kind == MAT_GLOSSY,
+            CLOSURE_MICROFACET,
+            xp.where(kind == MAT_MIRROR, CLOSURE_SPECULAR, CLOSURE_NULL),
+        ),
     )
     return {
         "kind": closure_kind,

@@ -134,3 +134,62 @@ def test_mix_material_selection():
     np.testing.assert_allclose(
         np.unique(np.round(choice_pdf[leaf == 1], 4)), [round(1 / 0.7, 4)]
     )
+
+
+def test_specular_mirror_throughput_exact():
+    """Delta mirror: f * |cos| / pdf == tint exactly; eval/pdf are zero."""
+    n = 64
+    p = _params(bsdf.CLOSURE_SPECULAR, color=(0.8, 0.6, 0.4), n=n)
+    r = np.random.default_rng(4)
+    wo = r.normal(size=(n, 3)).astype(np.float32)
+    wo[:, 2] = np.abs(wo[:, 2]) + 0.05
+    wo /= np.linalg.norm(wo, axis=-1, keepdims=True)
+    wi, f, pdf = bsdf.sample_local(p, wo, _rand_u2(n))
+    # mirror direction about z
+    np.testing.assert_allclose(wi[:, 2], wo[:, 2], atol=1e-6)
+    np.testing.assert_allclose(wi[:, :2], -wo[:, :2], atol=1e-6)
+    thr = f * np.abs(wi[:, 2:3]) / pdf[:, None]
+    np.testing.assert_allclose(thr, np.tile([0.8, 0.6, 0.4], (n, 1)), rtol=1e-4)
+    assert np.all(bsdf.eval_local(p, wo, wi) == 0.0)
+    assert np.all(bsdf.pdf_local(p, wo, wi) == 0.0)
+
+
+def test_fresnel_terms():
+    fd0 = bsdf.fresnel_dielectric(np.float32(1.0), 1.0, 1.5)
+    # normal incidence: ((n1-n2)/(n1+n2))^2 = 0.04
+    assert abs(float(fd0) - 0.04) < 1e-3
+    fd_grazing = bsdf.fresnel_dielectric(np.float32(0.01), 1.0, 1.5)
+    assert float(fd_grazing) > 0.9
+    # TIR from the dense side
+    tir = bsdf.fresnel_dielectric(np.float32(-0.2), 1.0, 1.5)
+    assert float(tir) == 1.0
+    fc = bsdf.fresnel_conductor(np.float32(1.0), np.float32(0.2), np.float32(3.0))
+    assert 0.8 < float(fc) <= 1.0
+    fs = bsdf.fresnel_schlick(np.float32(1.0), np.float32(0.04))
+    assert abs(float(fs) - 0.04) < 1e-6
+
+
+def test_mirror_render_reflects():
+    """Cornell with a mirror tall box: renders finite, and the mirror region
+    differs from the diffuse version (it reflects surroundings)."""
+    import jax
+
+    from akari_tpu.integrators.path import PathConfig, render
+    from akari_tpu.scene.builtin import cornell_box_mesh
+    from akari_tpu.scene.nodes import MirrorMaterial, compile_scene
+    from akari_tpu.scene.arrays import make_camera
+    from akari_tpu.core import transform as xform
+
+    mesh_d = cornell_box_mesh()
+    mesh_m = cornell_box_mesh()
+    # tallBox material index: find by name order — replace the 7th (tallBox)
+    mats = list(mesh_m.materials)
+    mats[6] = MirrorMaterial(color=(0.95, 0.95, 0.95))
+    mesh_m.materials = mats
+    cam = make_camera(xform.translate((0, 1, 9)), 15.0, 24, 24)
+    cfg = PathConfig(spp=8, max_depth=3)
+    img_d = np.asarray(render(compile_scene([mesh_d], "bvh"), cam, cfg, seed=0))
+    img_m = np.asarray(render(compile_scene([mesh_m], "bvh"), cam, cfg, seed=0))
+    assert np.all(np.isfinite(img_m))
+    diff = np.abs(img_m - img_d).mean()
+    assert diff > 0.003, diff
