@@ -28,7 +28,40 @@ from ..integrators.path import trace_accumulate
 
 
 def _trace_block(scene, camera, pixel_idx, *, cfg, seed, sample_offset=0):
-    """Trace cfg.spp samples for a block of pixels -> [B,3] mean radiance."""
+    """Trace cfg.spp samples for a block of pixels -> [B,3] mean radiance.
+
+    Dispatches on the integrator config type (Path / BDPT / AO), so every
+    integrator renders ray-sharded with the same mesh layout.
+    """
+    from ..integrators.ao import AOConfig, trace_ao
+    from ..integrators.bdpt import BDPTConfig, trace_bdpt
+    from ..integrators.path import _jax_intersectors
+
+    if isinstance(cfg, BDPTConfig) or isinstance(cfg, AOConfig):
+        intersect_fn, occlude_fn, _ = _jax_intersectors(scene)
+
+        if isinstance(cfg, BDPTConfig):
+            def one(s):
+                return trace_bdpt(
+                    scene, camera, cfg, seed, s, pixel_idx,
+                    intersect_fn, occlude_fn, jnp,
+                )
+        else:
+            def one(s):
+                return trace_ao(
+                    scene, camera, cfg, seed, s, pixel_idx,
+                    intersect_fn, occlude_fn, jnp,
+                )
+
+        def body(acc, s):
+            return acc + one(s + jnp.uint32(sample_offset)), None
+
+        acc, _ = jax.lax.scan(
+            body,
+            jnp.zeros((pixel_idx.shape[0], 3), jnp.float32),
+            jnp.arange(cfg.spp, dtype=jnp.uint32),
+        )
+        return acc / cfg.spp
     return trace_accumulate(
         scene, camera, cfg, seed, pixel_idx, sample_offset=sample_offset
     )

@@ -66,3 +66,21 @@ def test_sharded_grads_match_single_device(setup):
         )
     # gradients actually flow into textures (albedo/emitter radiance)
     assert float(jnp.abs(g8["tex_value"]).sum()) > 0.0
+
+
+def test_sharded_bdpt_and_ao(setup):
+    """BDPT and AO also render through the sharded path."""
+    from akari_tpu.integrators.ao import AOConfig, render_ao
+    from akari_tpu.integrators.bdpt import BDPTConfig, render_bdpt
+
+    scene, cam, _ = setup
+    mesh = make_ray_mesh(n_devices=4)
+    cfg_b = BDPTConfig(spp=1, eye_depth=2, light_depth=1)
+    img_s = np.asarray(render_sharded(scene, cam, cfg_b, mesh, seed=0))
+    img_1 = np.asarray(render_bdpt(scene, cam, cfg_b, seed=0))
+    np.testing.assert_allclose(img_s, img_1, rtol=1e-5, atol=1e-5)
+
+    cfg_a = AOConfig(spp=2)
+    img_s = np.asarray(render_sharded(scene, cam, cfg_a, mesh, seed=0))
+    img_1 = np.asarray(render_ao(scene, cam, cfg_a, seed=0))
+    np.testing.assert_allclose(img_s, img_1, rtol=1e-5, atol=1e-5)
