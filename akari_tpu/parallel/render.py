@@ -107,7 +107,7 @@ def loss_and_image_sharded(scene, camera, cfg, mesh, target, seed=0):
     valid = (jnp.arange(n + pad) < n).astype(jnp.float32)[:, None]
 
     def shard_fn(scene, camera, pixel_idx, target_px, valid_px):
-        radiance = _trace_block(scene, camera, cfg, seed, pixel_idx)
+        radiance = _trace_block(scene, camera, pixel_idx, cfg=cfg, seed=seed)
         sq = jnp.sum(((radiance - target_px) * valid_px) ** 2)
         total = jax.lax.psum(sq, "rays")
         return total / (n * 3), radiance

@@ -84,3 +84,25 @@ def test_sharded_bdpt_and_ao(setup):
     img_s = np.asarray(render_sharded(scene, cam, cfg_a, mesh, seed=0))
     img_1 = np.asarray(render_ao(scene, cam, cfg_a, seed=0))
     np.testing.assert_allclose(img_s, img_1, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_loss_and_grads_smoke(setup):
+    """Ungated smoke of loss_and_image_sharded + grads (the bench/entry
+    path): loss finite, image matches plain render, texture grads nonzero."""
+    scene, cam, cfg = setup
+    mesh = make_ray_mesh(n_devices=4)
+    target = jnp.zeros((12, 12, 3), jnp.float32)
+    params = scene_params(scene)
+
+    def f(params):
+        s = apply_params(scene, params)
+        loss, img = loss_and_image_sharded(s, cam, cfg, mesh, target, seed=0)
+        return loss, img
+
+    (loss, img), grads = jax.value_and_grad(f, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    img_plain = render(scene, cam, cfg, seed=0)
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(img_plain), rtol=1e-5, atol=1e-5
+    )
+    assert float(jnp.abs(grads["tex_value"]).sum()) > 0.0
