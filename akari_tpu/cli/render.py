@@ -23,6 +23,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sharded", action="store_true",
                     help="shard rays over all local devices")
+    ap.add_argument("--profile", action="store_true",
+                    help="print a per-phase timing table after rendering "
+                         "(ref: print_kernel_stats)")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args(argv)
 
@@ -61,44 +64,62 @@ def main(argv=None):
 
     import dataclasses
 
-    import jax
+    import numpy as np
 
     from ..integrators.bdpt import BDPTConfig, render_bdpt
+    from ..utils.profiler import Profiler
+
+    prof = Profiler() if args.profile else None
+
+    def frame(name):
+        import contextlib
+
+        return prof.frame(name) if prof else contextlib.nullcontext()
 
     cfg = scene_node.integrator or PathConfig()
+    t0 = time.perf_counter()
     if args.ao or isinstance(cfg, AOConfig):
         if not isinstance(cfg, AOConfig):
             cfg = AOConfig(spp=args.spp or 16)
         if args.spp:
             cfg = dataclasses.replace(cfg, spp=args.spp)
-        t0 = time.perf_counter()
-        img = render_ao(scene, camera, cfg, seed=args.seed)
+        with frame("render/ao"):
+            img = render_ao(scene, camera, cfg, seed=args.seed)
+            img = np.asarray(img)
     elif isinstance(cfg, BDPTConfig):
         if args.spp:
             cfg = dataclasses.replace(cfg, spp=args.spp)
-        t0 = time.perf_counter()
-        img = render_bdpt(scene, camera, cfg, seed=args.seed)
+        with frame("render/bdpt"):
+            img = render_bdpt(scene, camera, cfg, seed=args.seed)
+            img = np.asarray(img)
     else:
         if args.spp:
             cfg = dataclasses.replace(cfg, spp=args.spp)
         if args.max_depth:
             cfg = dataclasses.replace(cfg, max_depth=args.max_depth)
-        t0 = time.perf_counter()
         if args.sharded:
             from ..parallel.mesh import make_ray_mesh
             from ..parallel.render import render_sharded
 
-            img = render_sharded(scene, camera, cfg, make_ray_mesh(), seed=args.seed)
+            with frame("render/path-sharded"):
+                img = render_sharded(
+                    scene, camera, cfg, make_ray_mesh(), seed=args.seed
+                )
+                img = np.asarray(img)
         else:
-            img = render(scene, camera, cfg, seed=args.seed)
-    img = jax.block_until_ready(img)
+            with frame("render/path"):
+                img = render(scene, camera, cfg, seed=args.seed)
+                img = np.asarray(img)
     dt = time.perf_counter() - t0
     rays = cfg.spp * camera.width * camera.height
     log.info(f"render done took ({dt:.3f}s)  [{rays / dt / 1e6:.2f} Mpaths/s]")
 
     out = args.output or scene_node.output
-    write_png(out, img)
+    with frame("write_image"):
+        write_png(out, img)
     log.info(f"wrote {out}")
+    if prof:
+        prof.print_stats()  # ref: print_kernel_stats (cuda/launch.cpp:92-117)
     return 0
 
 

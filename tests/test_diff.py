@@ -116,3 +116,43 @@ def test_inverse_rendering_recovers_albedo(setup):
     err_bad = np.abs(bad_v - true_v).sum()
     err_rec = np.abs(rec_v - true_v).sum()
     assert err_rec < err_bad
+
+
+def test_gradients_match_oracle_finite_difference(setup):
+    """BASELINE's literal claim: pixel-loss gradients from the TPU-path AD
+    match finite differences of the *NumPy oracle renderer* on matched
+    sampler seeds (the oracle never touches JAX's AD or XLA)."""
+    import dataclasses
+
+    from akari_tpu.oracle.renderer import render_oracle
+
+    sc, scene = setup
+    cfg = PathConfig(spp=2, max_depth=2, mis=True)
+    target = np.zeros((12, 12, 3), np.float32)
+
+    f = jax.jit(_loss_of_params(scene, sc.camera, cfg, jnp.asarray(target)))
+    params = scene_params(scene)
+    g = np.asarray(jax.jit(jax.grad(f))(params)["tex_value"])
+
+    def oracle_loss(tex_value):
+        s = dataclasses.replace(
+            scene, textures=dataclasses.replace(
+                scene.textures, value=tex_value
+            )
+        )
+        img = render_oracle(s, sc.camera, cfg, seed=0)
+        return float(np.mean((img - target) ** 2))
+
+    v0 = np.asarray(params["tex_value"])
+    checked = 0
+    for (i, c) in [(0, 0), (3, 0), (5, 0)]:
+        eps = 1e-2 * max(abs(v0[i, c]), 1.0)
+        vp = v0.copy(); vp[i, c] += eps
+        vm = v0.copy(); vm[i, c] -= eps
+        fd = (oracle_loss(vp) - oracle_loss(vm)) / (2 * eps)
+        ad = float(g[i, c])
+        if abs(fd) < 1e-4 or abs(ad) < 1e-4:
+            continue
+        assert abs(fd - ad) <= 0.05 * max(abs(fd), abs(ad)) + 1e-6, (i, c, fd, ad)
+        checked += 1
+    assert checked >= 2
