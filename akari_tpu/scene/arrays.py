@@ -140,6 +140,10 @@ class SceneArrays:
     bvh: BVHArrays
     # [K, 8] AABBs over 128-triangle BVH-ordered runs (ops/pallas_cluster.py)
     tri_clusters: jax.Array = None
+    # [T] int32: storage slot -> original triangle id. With SBVH spatial
+    # splits a triangle occupies several storage slots; this recovers the
+    # physical identity (duplicate copies share one original id).
+    prim_to_orig: jax.Array = None
     n_tris: int = 0
     n_materials: int = 0
     intersector: str = "bvh"  # "brute" | "bvh" | "pallas"

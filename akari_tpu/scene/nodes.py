@@ -338,6 +338,19 @@ def compile_scene(shapes, intersector="bvh"):
     face_mat = top_ids[mid]
 
     bvh, order = build_bvh(p[:, 0], p[:, 1], p[:, 2])
+    order = np.asarray(order, np.int64)
+    n_orig = p.shape[0]
+    # With SBVH spatial splits a triangle may occupy several storage slots
+    # (len(order) >= n_orig, duplicate entries). Lights must be enumerated
+    # over ORIGINAL triangles — enumerating storage slots would double-count
+    # a duplicated emitter's power and split its selection pdf across copies
+    # (ref: nodes/scene.cpp:55-92 scans each triangle once).
+    emissive_orig = mat_table.kind[face_mat] == MAT_EMISSIVE  # original space
+    light_orig = np.nonzero(emissive_orig)[0]
+    # canonical (first) storage copy of each original triangle, for gathers
+    first_copy = np.full(n_orig, -1, np.int64)
+    rev = np.arange(order.shape[0] - 1, -1, -1, dtype=np.int64)
+    first_copy[order[rev]] = rev
     p, n, uv, face_mat = p[order], n[order], uv[order], face_mat[order]
 
     if intersector == "auto":
@@ -351,9 +364,10 @@ def compile_scene(shapes, intersector="bvh"):
     e2 = p[:, 2] - p[:, 0]
 
     # Light table: every emissive-material triangle is an area light, with
-    # power = emission_mean * area (ref: nodes/scene.cpp:55-92).
-    emissive_mask = mat_table.kind[face_mat] == MAT_EMISSIVE
-    light_tris = np.nonzero(emissive_mask)[0].astype(np.int32)
+    # power = emission_mean * area (ref: nodes/scene.cpp:55-92). tri_id is
+    # the canonical storage copy; tri_to_light maps EVERY storage copy to
+    # the same light so the MIS light-pdf of a BSDF hit is copy-invariant.
+    light_tris = first_copy[light_orig].astype(np.int32)
     if light_tris.size > 0:
         areas = 0.5 * np.linalg.norm(
             np.cross(e1[light_tris], e2[light_tris]), axis=-1
@@ -365,8 +379,9 @@ def compile_scene(shapes, intersector="bvh"):
             ]
         ) * areas
         pdf, cdf = build_cdf(power)
-        tri_to_light = np.full(v0.shape[0], -1, np.int32)
-        tri_to_light[light_tris] = np.arange(light_tris.size, dtype=np.int32)
+        light_of_orig = np.full(n_orig, -1, np.int32)
+        light_of_orig[light_orig] = np.arange(light_orig.size, dtype=np.int32)
+        tri_to_light = light_of_orig[order]
         lights = LightTable(
             tri_id=light_tris, cdf=cdf, pdf=pdf,
             tri_to_light=tri_to_light,
@@ -397,6 +412,7 @@ def compile_scene(shapes, intersector="bvh"):
         textures=tex_table,
         lights=lights,
         bvh=BVHArrays(**bvh),
+        prim_to_orig=order.astype(np.int32),
         n_tris=int(v0.shape[0]),
         n_materials=len(mats.items),
         intersector=intersector,

@@ -8,6 +8,13 @@ from akari_tpu.scene.builtin import cornell_box
 from akari_tpu.ops.intersect import intersect, occlude
 
 
+def _orig_prim(scene, hit):
+    """Map storage prim ids to original triangle ids (copy-invariant)."""
+    prim = np.asarray(hit.prim)
+    mapped = np.asarray(scene.prim_to_orig)[np.maximum(prim, 0)]
+    return np.where(np.asarray(hit.valid), mapped, -1)
+
+
 def _random_tris(n, seed=0):
     r = np.random.default_rng(seed)
     base = r.uniform(-2, 2, size=(n, 1, 3))
@@ -19,13 +26,16 @@ def test_build_invariants():
     tris = _random_tris(500)
     bvh, order = build_bvh(tris[:, 0], tris[:, 1], tris[:, 2])
     n = bvh["first"].shape[0]
-    assert sorted(order.tolist()) == list(range(500))
+    # SBVH spatial splits may duplicate references: order covers every
+    # triangle at least once, and is bounded by the duplication budget.
+    assert sorted(set(order.tolist())) == list(range(500))
+    assert 500 <= len(order) <= 500 + int(0.35 * 500) + 1
     leaf = bvh["count"] > 0
-    # all prims covered exactly once by leaves
+    # all storage slots covered exactly once by leaves
     covered = []
     for i in np.nonzero(leaf)[0]:
         covered.extend(range(bvh["first"][i], bvh["first"][i] + bvh["count"][i]))
-    assert sorted(covered) == list(range(500))
+    assert sorted(covered) == list(range(len(order)))
     assert bvh["count"].max() <= MAX_LEAF
     # miss links in range
     assert np.all(bvh["miss"] >= -1) and np.all(bvh["miss"] < n)
@@ -49,7 +59,9 @@ def test_traversal_matches_brute():
     h_bvh = intersect(scene, jnp.asarray(o), jnp.asarray(d))
     h_brute = intersect(scene_brute, jnp.asarray(o), jnp.asarray(d))
     np.testing.assert_array_equal(np.asarray(h_bvh.valid), np.asarray(h_brute.valid))
-    np.testing.assert_array_equal(np.asarray(h_bvh.prim), np.asarray(h_brute.prim))
+    np.testing.assert_array_equal(
+        _orig_prim(scene, h_bvh), _orig_prim(scene_brute, h_brute)
+    )
     np.testing.assert_allclose(
         np.asarray(h_bvh.t), np.asarray(h_brute.t), rtol=1e-5, atol=1e-5
     )
@@ -76,7 +88,7 @@ def test_traversal_random_scene():
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     h1 = intersect(scene, jnp.asarray(o), jnp.asarray(d))
     h2 = intersect(scene_b, jnp.asarray(o), jnp.asarray(d))
-    np.testing.assert_array_equal(np.asarray(h1.prim), np.asarray(h2.prim))
+    np.testing.assert_array_equal(_orig_prim(scene, h1), _orig_prim(scene_b, h2))
     np.testing.assert_allclose(
         np.asarray(h1.t), np.asarray(h2.t), rtol=1e-5, atol=1e-5
     )
