@@ -17,9 +17,13 @@ config 5 asks for one. This is a from-scratch TPU formulation:
   converted to area measure, and the weight is computed with the standard
   r_i product recurrence — vectorized over the whole ray batch.
 
-Light tracing "t = 1" splat strategies (connecting light subpaths to the
-camera) are intentionally excluded from the strategy set; MIS weights
-account only for the included strategies, so the estimator stays unbiased.
+* **Light tracing (t = 1)**: every light-subpath vertex is also connected
+  to the camera and splatted to the film pixel it projects to (a
+  scatter-add — the TPU stand-in for a film atomic splat). Enabled for
+  pinhole cameras (``BDPTConfig.light_tracing``); when disabled (or with a
+  thin lens) the strategy set simply excludes t = 1 and the MIS weights
+  account only for included strategies, so the estimator stays unbiased
+  either way.
 """
 
 from __future__ import annotations
@@ -55,6 +59,9 @@ class BDPTConfig:
     # adjustment; used for apples-to-apples comparisons with the
     # unidirectional tracer (max_vertices = max_depth + 1).
     max_vertices: int = 0
+    # Light tracing: connect light-subpath vertices to the camera and
+    # splat (t = 1 strategies). Auto-disabled for thin-lens cameras.
+    light_tracing: bool = True
 
 
 def _vertex_tape(n, depth, xp):
@@ -90,6 +97,84 @@ def _np_set(arr, i, v):
     return arr
 
 
+def _film_plane(camera):
+    """Half-extents (sx, sy) of the film plane at unit camera depth.
+
+    Matches the forward mapping in path.camera_rays (ref: the reference's
+    raster->camera chain, kernel/camera.h:45-61)."""
+    t = camera.tan_half_fov
+    w, h = camera.width, camera.height
+    if w > h:
+        return t, t * (h / w)
+    return t * (w / h), t
+
+
+def _camera_ray_pdf_dir(camera, d, xp):
+    """Solid-angle pdf of the camera sampling world direction ``d`` (unit).
+
+    Uniform-over-film sampling: p(w) = 1 / (A * cos^3 theta), A = film
+    area at unit depth. Used as the eye subpath's vertex-0 forward pdf so
+    MIS can weigh t=1 (light tracing) against camera-sampled strategies.
+    """
+    c2w = xp.asarray(camera.c2w)
+    fwd = -c2w[:3, 2]  # camera looks down local -Z; rotation is orthonormal
+    cos_t = xp.maximum(dot(d, fwd), 1e-6)
+    sx, sy = _film_plane(camera)
+    area = 4.0 * sx * sy
+    return 1.0 / (area * cos_t * cos_t * cos_t)
+
+
+def _camera_connect(camera, p, xp):
+    """Project a world point to the pinhole camera.
+
+    Returns (w_to_cam, dist, pix, in_frustum, We, pdf_dir, cos_cam, cam_o):
+    w_to_cam [N,3] unit direction point->camera; pix [N] flat film pixel
+    (clipped; gate on in_frustum); We = importance 1/(A cos^4); pdf_dir =
+    camera direction pdf toward p; cos_cam = cos(view axis, dir to p).
+    """
+    c2w = xp.asarray(camera.c2w)
+    rot = c2w[:3, :3]
+    cam_o = c2w[:3, 3]
+    v = cam_o - p
+    d2 = xp.maximum(dot(v, v), 1e-12)
+    dist = xp.sqrt(d2)
+    w_to_cam = v / dist[..., None]
+    d_cam = (p - cam_o) @ rot  # rows = R^T (p - cam_o): camera-space dir
+    z = -d_cam[..., 2]
+    safe_z = xp.maximum(z, 1e-8)
+    sx, sy = _film_plane(camera)
+    ndc_x = d_cam[..., 0] / safe_z / sx
+    ndc_y = d_cam[..., 1] / safe_z / sy
+    in_frustum = (z > 1e-6) & (xp.abs(ndc_x) < 1.0) & (xp.abs(ndc_y) < 1.0)
+    w, h = camera.width, camera.height
+    px = xp.clip(((ndc_x + 1.0) * 0.5 * w).astype(xp.int32), 0, w - 1)
+    py = xp.clip(((1.0 - ndc_y) * 0.5 * h).astype(xp.int32), 0, h - 1)
+    pix = py * w + px
+    cos_cam = safe_z / xp.sqrt(xp.maximum(dot(d_cam, d_cam), 1e-16))
+    area = 4.0 * sx * sy
+    cos2 = cos_cam * cos_cam
+    we = 1.0 / (area * cos2 * cos2)
+    pdf_dir = 1.0 / (area * cos_cam * cos2)
+    return w_to_cam, dist, pix, in_frustum, we, pdf_dir, cos_cam, cam_o
+
+
+def _t1_enabled(scene, camera, cfg):
+    """t=1 strategies are active (static: metadata only)."""
+    return (
+        cfg.light_tracing
+        and camera.lens_radius == 0.0
+        and scene.lights.n_lights > 0
+        and cfg.light_depth > 0
+    )
+
+
+def _scatter_add(img, idx, val, xp):
+    if hasattr(img, "at"):
+        return img.at[idx].add(val)
+    np.add.at(img, idx, val)
+    return img
+
+
 def _geo_term(pa, na, pb, nb, xp):
     """|cos a||cos b| / d^2 and the unit direction a->b, distance."""
     w = pb - pa
@@ -119,7 +204,10 @@ def _trace_eye_subpath(scene, camera, cfg, seed, sample_idx, pixel_idx,
     o, d = camera_rays(camera, seed, sample_idx, pixel_idx, xp)
     beta = xp.ones((n, 3), xp.float32)
     active = xp.ones((n,), bool)
-    pdf_dir = xp.full((n,), 1.0, xp.float32)  # camera importance treated as 1
+    # vertex-0 forward pdf = the real camera direction pdf (only consumed
+    # by MIS when t=1 strategies are in the set; beta stays We/pdf == 1
+    # because film-uniform sampling importance-samples We exactly).
+    pdf_dir = _camera_ray_pdf_dir(camera, d, xp)
     prev_p = o
     prev_ns = d  # unused for camera; pdf conversions handled below
 
@@ -302,36 +390,41 @@ def _safe_div(xp, a, b):
 
 
 def _mis_weight(eye, light, s, t, rev_e_t, rev_e_tm1, rev_l_s, rev_l_sm1,
-                max_light_depth, xp):
+                max_light_depth, xp, t1=False):
     """Balance-heuristic weight for connection strategy (s, t).
 
     Strategy set for a path with E eye vertices + L light vertices:
     all (s', t') with s' + t' = s + t + 2 vertices split as s' light /
-    t' eye, where t' >= 1 (no light-hits-camera strategies) and
-    s' <= max_light_depth. Standard r_i recurrence (Veach; pbrt's
-    MISWeight): walk outward from the connection multiplying rev/fwd
-    pdf ratios per vertex. The two vertices adjacent to the connection
-    need their reverse pdfs recomputed for the connection direction:
+    t' eye, where t' >= 1 (plus the t' = 0 camera-splat alternative when
+    ``t1``) and s' <= max_light_depth. Standard r_i recurrence (Veach;
+    pbrt's MISWeight): walk outward from the connection multiplying
+    rev/fwd pdf ratios per vertex. The two vertices adjacent to the
+    connection need their reverse pdfs recomputed for the connection
+    direction:
     rev_e_t   = area pdf of eye vertex t generated from light vertex s;
     rev_e_tm1 = area pdf of eye vertex t-1 generated from eye vertex t
                 with incoming from the connection;
     rev_l_s / rev_l_sm1 symmetrically.
+    When ``t1``, eye pdf_fwd[:, 0] must hold the true camera area pdf —
+    the k = 0 ratio weighs light tracing against camera sampling (the
+    pinhole position delta is shared by both and cancels).
     """
     sum_ri = xp.zeros_like(rev_e_t)
     max_eye_depth = eye["pdf_fwd"].shape[1]
 
     # Tape index k holds vertex count k+1. Eye-ward alternatives: the
-    # connection moves past eye index k (k = t .. 1), leaving k eye
-    # vertices and s + (t - k) + 2 light vertices.
+    # connection moves past eye index k (k = t .. 1, and k = 0 for the
+    # t1 splat strategy), leaving k eye vertices and s + (t - k) + 2
+    # light vertices.
     ri = xp.ones_like(rev_e_t)
-    for k in range(t, 0, -1):
+    for k in range(t, -1 if t1 else 0, -1):
         rev = rev_e_t if k == t else (rev_e_tm1 if k == t - 1 else eye["pdf_rev"][:, k])
         ri = ri * _safe_div(xp, rev, eye["pdf_fwd"][:, k])
         if s + (t - k) + 2 <= max_light_depth:
             sum_ri = sum_ri + ri
 
     # Light-ward alternatives: the connection moves past light index k
-    # (k = s .. 0), leaving k light vertices (k = 0 is the pure eye hit)
+    # (k = s .. 0, k = 0 is the pure eye hit), leaving k light vertices
     # and t + (s - k) + 2 eye vertices.
     ri = xp.ones_like(rev_e_t)
     for k in range(s, -1, -1):
@@ -343,7 +436,8 @@ def _mis_weight(eye, light, s, t, rev_e_t, rev_e_tm1, rev_l_s, rev_l_sm1,
     return 1.0 / (1.0 + sum_ri)
 
 
-def _mis_weight_s0(eye, t, pdf_light_area, pdf_emit_tm1, max_light_depth, xp):
+def _mis_weight_s0(eye, t, pdf_light_area, pdf_emit_tm1, max_light_depth, xp,
+                   t1=False):
     """Weight for the s = 0 strategy: the eye path hits the light at eye
     vertex index t. Competitors generate the light vertex (and possibly
     more) from the light side:
@@ -355,8 +449,8 @@ def _mis_weight_s0(eye, t, pdf_light_area, pdf_emit_tm1, max_light_depth, xp):
     ri = xp.ones_like(pdf_light_area)
     # k walks the eye tape from the light vertex (index t) backwards; the
     # alternative after moving past index k has (t - k + 1) light vertices
-    # and k eye vertices (needs k >= 1).
-    for k in range(t, 0, -1):
+    # and k eye vertices (k = 0, the camera splat, only when t1).
+    for k in range(t, -1 if t1 else 0, -1):
         if k == t:
             rev = pdf_light_area
         elif k == t - 1:
@@ -369,10 +463,39 @@ def _mis_weight_s0(eye, t, pdf_light_area, pdf_emit_tm1, max_light_depth, xp):
     return 1.0 / (1.0 + sum_ri)
 
 
+def _mis_weight_t1(light, s, rev_l_s, rev_l_sm1, max_eye_depth, xp):
+    """Weight for the t = 1 (light tracing) strategy splatting light tape
+    vertex ``s`` to the camera. Alternatives move the split light-ward:
+    after moving past light index k, k light vertices remain and the eye
+    side has s + 1 - k surface vertices (k = 0 is the pure eye hit).
+    rev_l_s   = area pdf of light vertex s generated from the camera;
+    rev_l_sm1 = area pdf of light vertex s-1 generated from light vertex s
+                with incoming from the camera.
+    """
+    sum_ri = xp.zeros_like(rev_l_s)
+    ri = xp.ones_like(rev_l_s)
+    for k in range(s, -1, -1):
+        rev = rev_l_s if k == s else (rev_l_sm1 if k == s - 1 else light["pdf_rev"][:, k])
+        ri = ri * _safe_div(xp, rev, light["pdf_fwd"][:, k])
+        if (s + 1 - k) <= max_eye_depth:
+            sum_ri = sum_ri + ri
+    return 1.0 / (1.0 + sum_ri)
+
+
 def trace_bdpt(scene, camera, cfg, seed, sample_idx, pixel_idx,
                intersect_fn, occlude_fn, xp):
-    """One BDPT sample per pixel -> [N, 3] radiance."""
+    """One BDPT sample per pixel -> ([N, 3] radiance, [W*H, 3] splat film).
+
+    The first return is per-traced-pixel radiance (t >= 2 strategies and
+    s = 0); the second is the whole-film t = 1 light-tracing splat image
+    (zeros when t = 1 is disabled) — a light path traced for pixel i may
+    splat anywhere. The final image is radiance_image + splat_film where
+    both are averaged over spp.
+    """
     n = pixel_idx.shape[0]
+    t1 = _t1_enabled(scene, camera, cfg)
+    n_film = camera.width * camera.height
+    splat = xp.zeros((n_film, 3), xp.float32)
     eye = _trace_eye_subpath(
         scene, camera, cfg, seed, sample_idx, pixel_idx, intersect_fn, xp
     )
@@ -392,29 +515,86 @@ def trace_bdpt(scene, camera, cfg, seed, sample_idx, pixel_idx,
         dsided = mat_mod.emissive_double_sided(scene.materials, mat_id)
         front = dot(-eye["wo"][:, t], eye["ng"][:, t]) < 0.0
         ok = eye["valid"][:, t] & (dsided | front)
-        if t == 0:
+        if t == 0 and not t1:
             w = xp.ones((n,), xp.float32)
         else:
             li = xp.take(scene.lights.tri_to_light, xp.maximum(eye["prim"][:, t], 0))
             sel_pdf = xp.take(scene.lights.pdf, xp.maximum(li, 0))
             _, _, _, _, area = light_mod._light_tri_data(scene, xp.maximum(eye["prim"][:, t], 0))
             pdf_l_area = sel_pdf / xp.maximum(area, 1e-12)
-            # area pdf of eye vertex t-1 generated from the (hit) light
-            # point by cosine emission-direction sampling
-            w_back = normalize(eye["p"][:, t - 1] - eye["p"][:, t], eps=1e-20)
-            cos_emit = xp.abs(dot(eye["ng"][:, t], w_back))
-            pdf_emit_tm1 = _sa_to_area(
-                sampling.cosine_hemisphere_pdf(xp.maximum(cos_emit, 1e-9)),
-                eye["p"][:, t], eye["p"][:, t - 1], eye["ns"][:, t - 1], xp,
-            )
+            if t >= 1:
+                # area pdf of eye vertex t-1 generated from the (hit) light
+                # point by cosine emission-direction sampling
+                w_back = normalize(eye["p"][:, t - 1] - eye["p"][:, t], eps=1e-20)
+                cos_emit = xp.abs(dot(eye["ng"][:, t], w_back))
+                pdf_emit_tm1 = _sa_to_area(
+                    sampling.cosine_hemisphere_pdf(xp.maximum(cos_emit, 1e-9)),
+                    eye["p"][:, t], eye["p"][:, t - 1], eye["ns"][:, t - 1], xp,
+                )
+            else:
+                pdf_emit_tm1 = xp.zeros((n,), xp.float32)  # unused at t=0
             w = _mis_weight_s0(
-                eye, t, pdf_l_area, pdf_emit_tm1, cfg.light_depth, xp
+                eye, t, pdf_l_area, pdf_emit_tm1, cfg.light_depth, xp, t1=t1
             )
             ok = ok & (li >= 0)
         L = L + eye["beta"][:, t] * Le * (ok * w)[..., None]
 
     if scene.lights.n_lights == 0:
-        return L
+        return L, splat
+
+    # ---- t = 1: light tracing — splat light vertices to the camera ----
+    if t1:
+        for s in range(cfg.light_depth):
+            if s + 1 > cap:  # path has s+1 surface/light vertices
+                break
+            pl = light["p"][:, s]
+            w_cam, dist, pix, in_f, we, pdf_cam_dir, cos_cam, cam_o = \
+                _camera_connect(camera, pl, xp)
+            cos_l = xp.abs(dot(light["ns"][:, s], w_cam))
+            # area pdf of light vertex s generated from the camera
+            rev_l_s = _sa_to_area(pdf_cam_dir, cam_o[None, :], pl,
+                                  light["ns"][:, s], xp)
+            if s == 0:
+                # the light point itself: emission already in beta; gate on
+                # the emitting side (ref: one-sided AreaLight, light.h:66)
+                mat0 = xp.take(scene.mat_id, xp.maximum(light["prim"][:, 0], 0))
+                dsided0 = mat_mod.emissive_double_sided(scene.materials, mat0)
+                emit_cos = dot(light["ng"][:, 0], w_cam)
+                f_l = xp.where(
+                    (dsided0 | (emit_cos > 0))[..., None],
+                    xp.ones((n, 3), xp.float32), 0.0,
+                )
+                rev_l_sm1 = xp.zeros((n,), xp.float32)
+                can = light["valid"][:, 0]
+            else:
+                l_params = _params_at(light, s)
+                l_frame = bsdf_mod.make_frame(light["ns"][:, s])
+                f_l = bsdf_mod.eval_world(l_params, l_frame, light["wo"][:, s], w_cam)
+                w_back = normalize(light["p"][:, s - 1] - pl, eps=1e-20)
+                rev_l_sm1 = _sa_to_area(
+                    bsdf_mod.pdf_world(l_params, l_frame, w_cam, w_back),
+                    pl, light["p"][:, s - 1], light["ns"][:, s - 1], xp,
+                )
+                can = light["valid"][:, s] & (
+                    light["kind"][:, s] != bsdf_mod.CLOSURE_NULL
+                )
+            # importance transport: beta * f * We * cos_l * cos_cam / d^2
+            contrib = light["beta"][:, s] * f_l * (
+                we * cos_l * cos_cam / xp.maximum(dist * dist, 1e-12)
+            )[..., None]
+            ok = can & in_f & (xp.max(contrib, axis=-1) > 0.0)
+            o_sh = pl + w_cam * (
+                RAY_EPS / xp.maximum(xp.abs(dot(light["ng"][:, s], w_cam)), 1e-4)
+            )[..., None]
+            occluded = occlude_fn(
+                o_sh, w_cam, xp.zeros((n,), xp.float32), dist * (1.0 - SHADOW_EPS)
+            )
+            w = _mis_weight_t1(light, s, rev_l_s, rev_l_sm1, cfg.eye_depth, xp)
+            val = contrib * ((ok & ~occluded) * w)[..., None]
+            if cfg.ray_clamp > 0:
+                val = xp.minimum(val, cfg.ray_clamp)
+            val = xp.where(xp.isfinite(val), val, 0.0)
+            splat = _scatter_add(splat, pix, val, xp)
 
     # ---- connections (s >= 1, t >= 1) ----
     for t in range(cfg.eye_depth):
@@ -497,13 +677,13 @@ def trace_bdpt(scene, camera, cfg, seed, sample_idx, pixel_idx,
             )
             w = _mis_weight(
                 eye, light, s, t, rev_e_t, rev_e_tm1, rev_l_s, rev_l_sm1,
-                cfg.light_depth, xp,
+                cfg.light_depth, xp, t1=t1,
             )
             L = L + contrib * (ok & ~occluded)[..., None] * w[..., None]
 
     if cfg.ray_clamp > 0:
         L = xp.minimum(L, cfg.ray_clamp)
-    return xp.where(xp.isfinite(L), L, 0.0)
+    return xp.where(xp.isfinite(L), L, 0.0), splat
 
 
 def render_bdpt(scene, camera, cfg, seed=0):
@@ -515,15 +695,17 @@ def render_bdpt(scene, camera, cfg, seed=0):
     pixel_idx = jnp.arange(n, dtype=jnp.uint32)
     intersect_fn, occlude_fn, fused_fn = _jax_intersectors(scene)
 
-    def body(acc, smp):
-        li = trace_bdpt(
+    def body(carry, smp):
+        acc, spl = carry
+        li, sp = trace_bdpt(
             scene, camera, cfg, seed, smp, pixel_idx,
             intersect_fn, occlude_fn, jnp,
         )
-        return acc + li, None
+        return (acc + li, spl + sp), None
 
-    acc, _ = jax.lax.scan(
-        body, jnp.zeros((n, 3), jnp.float32),
+    (acc, spl), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((n, 3), jnp.float32), jnp.zeros((n, 3), jnp.float32)),
         jnp.arange(cfg.spp, dtype=jnp.uint32),
     )
-    return (acc / cfg.spp).reshape(camera.height, camera.width, 3)
+    return ((acc + spl) / cfg.spp).reshape(camera.height, camera.width, 3)

@@ -37,27 +37,42 @@ def _trace_block(scene, camera, pixel_idx, *, cfg, seed, sample_offset=0):
     from ..integrators.bdpt import BDPTConfig, trace_bdpt
     from ..integrators.path import _jax_intersectors
 
-    if isinstance(cfg, BDPTConfig) or isinstance(cfg, AOConfig):
+    if isinstance(cfg, BDPTConfig):
+        intersect_fn, occlude_fn, _ = _jax_intersectors(scene)
+        n_film = camera.width * camera.height
+
+        def body(carry, s):
+            acc, spl = carry
+            li, sp = trace_bdpt(
+                scene, camera, cfg, seed, s + jnp.uint32(sample_offset),
+                pixel_idx, intersect_fn, occlude_fn, jnp,
+            )
+            return (acc + li, spl + sp), None
+
+        (acc, spl), _ = jax.lax.scan(
+            body,
+            (
+                jnp.zeros((pixel_idx.shape[0], 3), jnp.float32),
+                jnp.zeros((n_film, 3), jnp.float32),
+            ),
+            jnp.arange(cfg.spp, dtype=jnp.uint32),
+        )
+        # splat film covers the WHOLE frame (a light path traced on this
+        # shard may splat to a pixel owned by another shard) — the caller
+        # psums it across the rays axis.
+        return acc / cfg.spp, spl / cfg.spp
+    if isinstance(cfg, AOConfig):
         intersect_fn, occlude_fn, _ = _jax_intersectors(scene)
 
-        if isinstance(cfg, BDPTConfig):
-            def one(s):
-                return trace_bdpt(
-                    scene, camera, cfg, seed, s, pixel_idx,
-                    intersect_fn, occlude_fn, jnp,
-                )
-        else:
-            def one(s):
-                return trace_ao(
-                    scene, camera, cfg, seed, s, pixel_idx,
-                    intersect_fn, occlude_fn, jnp,
-                )
-
-        def body(acc, s):
-            return acc + one(s + jnp.uint32(sample_offset)), None
+        def body_ao(acc, s):
+            li = trace_ao(
+                scene, camera, cfg, seed, s + jnp.uint32(sample_offset),
+                pixel_idx, intersect_fn, occlude_fn, jnp,
+            )
+            return acc + li, None
 
         acc, _ = jax.lax.scan(
-            body,
+            body_ao,
             jnp.zeros((pixel_idx.shape[0], 3), jnp.float32),
             jnp.arange(cfg.spp, dtype=jnp.uint32),
         )
@@ -72,10 +87,33 @@ def render_sharded(scene, camera, cfg, mesh, seed=0, sample_offset=0):
 
     Returns [H, W, 3]. Pixel count is padded to a multiple of the axis size.
     """
+    from ..integrators.bdpt import BDPTConfig
+
     n = camera.width * camera.height
     n_dev = mesh.shape["rays"]
     pad = (-n) % n_dev
     pixel_idx = jnp.arange(n + pad, dtype=jnp.uint32)
+
+    if isinstance(cfg, BDPTConfig):
+        # BDPT additionally produces a whole-film t=1 splat image per
+        # shard; psum merges the shards' splats (the collective replaces
+        # the reference's mutex-guarded film merge).
+        def shard_fn(scene, camera, pixel_idx):
+            rad, spl = _trace_block(
+                scene, camera, pixel_idx, cfg=cfg, seed=seed,
+                sample_offset=sample_offset,
+            )
+            return rad, jax.lax.psum(spl, "rays")
+
+        fn = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P("rays")),
+            out_specs=(P("rays"), P()),
+            check_vma=False,
+        )
+        radiance, splat = fn(scene, camera, pixel_idx)
+        img = radiance[:n] + splat
+        return img.reshape(camera.height, camera.width, 3)
 
     fn = shard_map(
         partial(_trace_block, cfg=cfg, seed=seed, sample_offset=sample_offset),
@@ -106,8 +144,22 @@ def loss_and_image_sharded(scene, camera, cfg, mesh, target, seed=0):
         )
     valid = (jnp.arange(n + pad) < n).astype(jnp.float32)[:, None]
 
+    from ..integrators.bdpt import BDPTConfig
+
     def shard_fn(scene, camera, pixel_idx, target_px, valid_px):
-        radiance = _trace_block(scene, camera, pixel_idx, cfg=cfg, seed=seed)
+        out = _trace_block(scene, camera, pixel_idx, cfg=cfg, seed=seed)
+        if isinstance(cfg, BDPTConfig):
+            radiance, spl = out
+            spl = jax.lax.psum(spl, "rays")  # whole-film t=1 splats
+            if pad:
+                spl = jnp.concatenate([spl, jnp.zeros((pad, 3), jnp.float32)])
+            blk = pixel_idx.shape[0]
+            i = jax.lax.axis_index("rays")
+            radiance = radiance + jax.lax.dynamic_slice_in_dim(
+                spl, i * blk, blk
+            )
+        else:
+            radiance = out
         sq = jnp.sum(((radiance - target_px) * valid_px) ** 2)
         total = jax.lax.psum(sq, "rays")
         return total / (n * 3), radiance

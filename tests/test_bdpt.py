@@ -52,6 +52,22 @@ def test_bdpt_weights_bounded(setup):
     assert float(img.max()) < 60.0
 
 
+def test_bdpt_light_tracing_on_off_agree(setup):
+    """t=1 splats + reweighted strategies keep the estimator unbiased:
+    means with and without light tracing agree within MC tolerance."""
+    import dataclasses
+
+    sc, scene = setup
+    cfg_on = BDPTConfig(spp=64, eye_depth=3, light_depth=3, ray_clamp=50.0)
+    cfg_off = dataclasses.replace(cfg_on, light_tracing=False)
+    a = np.asarray(render_bdpt(scene, sc.camera, cfg_on, seed=2))
+    b = np.asarray(render_bdpt(scene, sc.camera, cfg_off, seed=3))
+    assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
+    ma, mb = float(a.mean()), float(b.mean())
+    assert ma > 0.01
+    assert abs(ma - mb) < 0.12 * max(ma, mb), (ma, mb)
+
+
 def test_bdpt_jax_matches_numpy_oracle(setup):
     """BDPT is backend-generic: jnp and numpy runs on matched seeds agree."""
     import jax.numpy as jnp
@@ -68,10 +84,9 @@ def test_bdpt_jax_matches_numpy_oracle(setup):
     pix = np.arange(n, dtype=np.uint32)
 
     intersect_fn, occlude_fn, _ = _jax_intersectors(scene)
-    lj = np.asarray(
-        trace_bdpt(scene, sc.camera, cfg, 0, jnp.uint32(0),
-                   jnp.asarray(pix), intersect_fn, occlude_fn, jnp)
-    )
+    lj, sj = trace_bdpt(scene, sc.camera, cfg, 0, jnp.uint32(0),
+                        jnp.asarray(pix), intersect_fn, occlude_fn, jnp)
+    lj, sj = np.asarray(lj), np.asarray(sj)
 
     sn = _to_numpy(scene)
 
@@ -85,6 +100,7 @@ def test_bdpt_jax_matches_numpy_oracle(setup):
         _, _, _, v = _intersect_brute_np(sn, o, d, tmin, tmax)
         return v
 
-    ln = trace_bdpt(sn, sc.camera, cfg, np.uint32(0), np.uint32(0), pix,
-                    np_isect, np_occl, np)
+    ln, sn_splat = trace_bdpt(sn, sc.camera, cfg, np.uint32(0), np.uint32(0),
+                              pix, np_isect, np_occl, np)
     np.testing.assert_allclose(lj, ln, rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(sj, sn_splat, rtol=1e-3, atol=2e-3)
