@@ -35,6 +35,7 @@ import numpy as np
 from .. import sampling
 from ..core import rng
 from ..core.vecmath import _xp, cross, dot, normalize
+from ..scene import geom
 from ..shading import bsdf as bsdf_mod
 from ..shading import light as light_mod
 from ..shading import material as mat_mod
@@ -272,17 +273,15 @@ def _sample_light_origin(scene, seed, sample_idx, pixel_idx, xp):
 
     li, sel_pdf = sample_discrete(scene.lights.cdf, u_sel)
     tri = xp.take(scene.lights.tri_id, li)
-    v0 = xp.take(scene.tri_v0, tri, axis=0)
-    e1 = xp.take(scene.tri_e1, tri, axis=0)
-    e2 = xp.take(scene.tri_e2, tri, axis=0)
+    v0, e1, e2 = geom.tri_world(scene, tri, xp)
     ng_raw = cross(e1, e2)
     area2 = xp.sqrt(xp.maximum(dot(ng_raw, ng_raw), 1e-20))
     ng = ng_raw / area2[..., None]
     area = 0.5 * area2
     b = sampling.uniform_triangle(u_pos)
     p = v0 + b[..., 0:1] * e1 + b[..., 1:2] * e2
-    mat_id = xp.take(scene.mat_id, tri)
-    uvs = xp.take(scene.uvs, tri, axis=0)
+    mat_id = geom.mat_of_prim(scene, tri, xp)
+    uvs = geom.uvs_of_prim(scene, tri, xp)
     b0 = 1.0 - b[..., 0:1] - b[..., 1:2]
     uv = uvs[:, 0] * b0 + uvs[:, 1] * b[..., 0:1] + uvs[:, 2] * b[..., 1:2]
     Le = mat_mod.emission(scene.materials, scene.textures, mat_id, uv)
@@ -518,7 +517,7 @@ def trace_bdpt(scene, camera, cfg, seed, sample_idx, pixel_idx,
         if t == 0 and not t1:
             w = xp.ones((n,), xp.float32)
         else:
-            li = xp.take(scene.lights.tri_to_light, xp.maximum(eye["prim"][:, t], 0))
+            li = geom.light_of_prim(scene, xp.maximum(eye["prim"][:, t], 0), xp)
             sel_pdf = xp.take(scene.lights.pdf, xp.maximum(li, 0))
             _, _, _, _, area = light_mod._light_tri_data(scene, xp.maximum(eye["prim"][:, t], 0))
             pdf_l_area = sel_pdf / xp.maximum(area, 1e-12)
@@ -557,7 +556,7 @@ def trace_bdpt(scene, camera, cfg, seed, sample_idx, pixel_idx,
             if s == 0:
                 # the light point itself: emission already in beta; gate on
                 # the emitting side (ref: one-sided AreaLight, light.h:66)
-                mat0 = xp.take(scene.mat_id, xp.maximum(light["prim"][:, 0], 0))
+                mat0 = geom.mat_of_prim(scene, xp.maximum(light["prim"][:, 0], 0), xp)
                 dsided0 = mat_mod.emissive_double_sided(scene.materials, mat0)
                 emit_cos = dot(light["ng"][:, 0], w_cam)
                 f_l = xp.where(
@@ -615,7 +614,7 @@ def trace_bdpt(scene, camera, cfg, seed, sample_idx, pixel_idx,
             # eye vertex t generated from light vertex s:
             if s == 0:
                 # light vertex 0 emits: one-sided emission factor
-                mat0 = xp.take(scene.mat_id, xp.maximum(light["prim"][:, 0], 0))
+                mat0 = geom.mat_of_prim(scene, xp.maximum(light["prim"][:, 0], 0), xp)
                 dsided = mat_mod.emissive_double_sided(scene.materials, mat0)
                 emit_cos = dot(light["ng"][:, 0], -w_el)
                 f_l = xp.where(

@@ -107,23 +107,28 @@ def camera_rays(camera, seed, sample_idx, pixel_idx, xp):
 
 
 def _surface_data(scene, prim, bary, xp):
-    """Gather hit-surface attributes for [N] prim ids + [N,2] barycentrics."""
+    """Gather hit-surface attributes for [N] prim ids + [N,2] barycentrics.
+
+    Instance-aware: prim ids may be virtual (two-level scenes) — geometry
+    is decoded to storage and transformed to world space (scene/geom.py);
+    flat scenes take the plain-gather path (a static branch).
+    """
+    from ..scene import geom
+
     pid = xp.maximum(prim, 0)
-    v0 = xp.take(scene.tri_v0, pid, axis=0)
-    e1 = xp.take(scene.tri_e1, pid, axis=0)
-    e2 = xp.take(scene.tri_e2, pid, axis=0)
+    v0, e1, e2 = geom.tri_world(scene, pid, xp)
     u = bary[..., 0:1]
     v = bary[..., 1:2]
     p = v0 + u * e1 + v * e2
     ng = normalize(cross(e1, e2), eps=1e-20)
-    ns_c = xp.take(scene.normals, pid, axis=0)  # [N,3,3]
+    ns_c = geom.normals_world(scene, pid, xp)  # [N,3,3]
     w0 = 1.0 - u - v
     ns = normalize(ns_c[:, 0] * w0 + ns_c[:, 1] * u + ns_c[:, 2] * v, eps=1e-12)
     # fall back to ng for degenerate shading normals
     ns = xp.where((dot(ns, ns) > 0.5)[..., None], ns, ng)
-    uv_c = xp.take(scene.uvs, pid, axis=0)  # [N,3,2]
+    uv_c = geom.uvs_of_prim(scene, pid, xp)  # [N,3,2]
     uv = uv_c[:, 0] * w0 + uv_c[:, 1] * u + uv_c[:, 2] * v
-    mat_id = xp.take(scene.mat_id, pid)
+    mat_id = geom.mat_of_prim(scene, pid, xp)
     return p, ng, ns, uv, mat_id
 
 

@@ -119,6 +119,13 @@ def _brute_closest(scene, o, d, t_min, t_max, tri_chunk=2048):
 
 
 def _intersect_impl(scene, o, d, t_min, t_max, any_hit=False):
+    if scene.instances is not None:
+        # Two-level TLAS/BLAS traversal (instanced scenes). The Pallas /
+        # brute backends operate on flat world-space storage and do not
+        # apply per-instance transforms.
+        from ..bvh import traverse
+
+        return traverse.intersect_instanced(scene, o, d, t_min, t_max, any_hit)
     if scene.intersector == "brute":
         if any_hit:
             h = _brute_closest(scene, o, d, t_min, t_max)

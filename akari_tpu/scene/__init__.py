@@ -8,5 +8,6 @@ from .nodes import (
     MirrorMaterial,
     MixMaterial,
     Mesh,
+    Instance,
     Scene,
 )

@@ -120,6 +120,39 @@ class BVHArrays:
     miss: jax.Array     # [N] int32 (-1 terminates)
 
 
+@pytree_dataclass(meta=("n_instances",))
+class InstanceTable:
+    """Two-level (TLAS/BLAS) instancing tables.
+
+    TPU-native extension of the reference's two-level BVH
+    (ref: kernel/bvh-accelerator.h:551-683 — per-mesh MeshBVH + top-level
+    BVH over BVHHandles; the reference shares no geometry between
+    instances and has no transforms, so this is a strict superset).
+
+    Node layout: ``SceneArrays.bvh`` holds ``[TLAS | BLAS_0 | BLAS_1 ...]``
+    in one threaded array set. TLAS leaves hold exactly ONE instance:
+    ``first`` indexes ``tlas_inst``. BLAS leaves index global *storage*
+    triangles; BLAS miss links are globalized (terminator stays -1 =
+    "exit this BLAS").
+
+    Prim-id encoding: hits carry a **virtual** flattened triangle id so the
+    Hit record and all integrators stay instance-agnostic. Instance ``i``
+    owns virtual ids ``[prim_ends[i-1], prim_ends[i])``;
+    ``storage_id = virtual + tri_offset[inst]``. Decode = one searchsorted
+    over [I] + a gather (scene/geom.py).
+    """
+
+    o2w: jax.Array        # [I, 3, 4] object->world (rows; translate in col 3)
+    w2o: jax.Array        # [I, 3, 4] world->object
+    nrm: jax.Array        # [I, 3, 3] normal matrix (= w2o rotation^T)
+    blas_root: jax.Array  # [I] int32 global node index of the instance's BLAS
+    tri_offset: jax.Array # [I] int32: virtual prim + offset = storage prim
+    prim_ends: jax.Array  # [I] int32 exclusive ends of virtual prim ranges
+    light_base: jax.Array # [I] int32 first light id of this instance
+    tlas_inst: jax.Array  # [I] int32: TLAS leaf order -> instance id
+    n_instances: int = 0
+
+
 @pytree_dataclass(meta=("n_tris", "n_materials", "intersector"))
 class SceneArrays:
     """The compiled scene. Triangle storage is in BVH-reordered order.
@@ -144,6 +177,9 @@ class SceneArrays:
     # splits a triangle occupies several storage slots; this recovers the
     # physical identity (duplicate copies share one original id).
     prim_to_orig: jax.Array = None
+    # Two-level instancing (None = flat scene; triangle storage is then in
+    # world space and prim ids are storage ids directly).
+    instances: InstanceTable = None
     n_tris: int = 0
     n_materials: int = 0
     intersector: str = "bvh"  # "brute" | "bvh" | "pallas"

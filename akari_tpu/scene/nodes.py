@@ -128,6 +128,26 @@ class Mesh:
     transform: Optional[np.ndarray] = None       # [4, 4]
 
 
+@dataclass
+class Instance:
+    """A placement of a prototype ``Mesh`` with its own transform.
+
+    Extends the reference's two-level BVH (per-mesh BVH + top-level BVH,
+    kernel/bvh-accelerator.h:551-683) with true geometry sharing: all
+    instances of one prototype share one BLAS and one set of triangle /
+    attribute arrays; the TLAS stores per-instance transforms. The
+    reference's MeshInstance has no transforms — this is a superset.
+
+    ``materials`` overrides the prototype's material list (a distinct
+    override list makes a distinct prototype variant, since face->material
+    ids live in shared storage).
+    """
+
+    mesh: Mesh
+    transform: np.ndarray                  # [4, 4] object -> world
+    materials: Optional[list] = None
+
+
 # --------------------------------------------------------------------------
 # Scene node + compile (ref: nodes/scene.{h,cpp})
 # --------------------------------------------------------------------------
@@ -315,7 +335,11 @@ def compile_scene(shapes, intersector="bvh"):
     """Merge meshes, build materials/lights/BVH -> SceneArrays (numpy leaves).
 
     Call ``jax.device_put`` (or just use under jit) to move to TPU.
+    Shapes may mix ``Mesh`` and ``Instance``; any ``Instance`` switches to
+    the two-level (TLAS/BLAS) compile (`_compile_instanced`).
     """
+    if any(isinstance(s, Instance) for s in shapes):
+        return _compile_instanced(shapes)
     all_p, all_n, all_uv, all_mid = [], [], [], []
     global_materials = []
     for mesh in shapes:
@@ -416,4 +440,227 @@ def compile_scene(shapes, intersector="bvh"):
         n_tris=int(v0.shape[0]),
         n_materials=len(mats.items),
         intersector=intersector,
+    )
+
+
+def _compile_instanced(shapes):
+    """Two-level compile: shared prototype BLASes + a TLAS over instances.
+
+    Capability superset of the reference's two-level BVH
+    (ref: kernel/bvh-accelerator.h:551-683 — per-mesh MeshBVH + top-level
+    BVH; the reference duplicates nothing but also shares nothing across
+    "instances" and has no transforms). Layout: see arrays.InstanceTable.
+
+    Every shape becomes an instance (plain ``Mesh`` = identity transform).
+    Prototypes are keyed by (mesh identity, materials-override identity):
+    all instances of a prototype share triangle/attribute storage and one
+    BLAS. Lights are enumerated per (instance, emissive prototype
+    triangle) with world-space areas, so emissive instances each get their
+    own power-CDF entries (ref: nodes/scene.cpp:55-92 scans triangles of
+    every mesh the same way).
+    """
+    from ..bvh.build import build_aabb_bvh, build_bvh
+    from .arrays import InstanceTable
+
+    insts = []  # (mesh, materials_override_or_None, o2w [4,4])
+    for s in shapes:
+        if isinstance(s, Instance):
+            insts.append(
+                (s.mesh, s.materials, np.asarray(s.transform, np.float64))
+            )
+        else:
+            insts.append((s, None, np.eye(4)))
+
+    # ---- prototypes -------------------------------------------------
+    proto_key_to_idx = {}
+    protos = []  # dicts of per-prototype compiled data
+    global_materials = []
+    inst_proto = np.zeros(len(insts), np.int64)
+    for i, (mesh, mats_over, _) in enumerate(insts):
+        key = (id(mesh), id(mats_over) if mats_over is not None else None)
+        if key not in proto_key_to_idx:
+            p, n, uv, mid = _flatten_mesh(mesh)
+            mats = list(mats_over if mats_over is not None
+                        else (mesh.materials or [DiffuseMaterial()]))
+            base = len(global_materials)
+            global_materials.extend(mats)
+            proto_key_to_idx[key] = len(protos)
+            protos.append(dict(p=p, n=n, uv=uv, mid=mid + base))
+        inst_proto[i] = proto_key_to_idx[key]
+
+    mats, mat_table, tex_table, texs = _compile_textures_materials(
+        global_materials
+    )
+    top_ids = np.asarray([mats.ids[id(m)] for m in global_materials], np.int32)
+
+    # ---- per-prototype BLAS + reordered storage ---------------------
+    blas_nodes = []      # list of bvh dicts (local links)
+    proto_tri_base = []  # storage base per prototype
+    proto_n_storage = []
+    proto_lights = []    # per proto: dict(local_canonical, e1, e2, mean, count)
+    all_v0, all_e1, all_e2 = [], [], []
+    all_n, all_uv, all_mid, all_t2l, all_p2o = [], [], [], [], []
+    tri_cursor = 0
+    for pr in protos:
+        p, nrm_c, uv, mid = pr["p"], pr["n"], pr["uv"], pr["mid"]
+        face_mat = top_ids[mid]
+        bvh, order = build_bvh(p[:, 0], p[:, 1], p[:, 2])
+        order = np.asarray(order, np.int64)
+        n_orig = p.shape[0]
+        emissive_orig = mat_table.kind[face_mat] == MAT_EMISSIVE
+        light_orig = np.nonzero(emissive_orig)[0]
+        first_copy = np.full(n_orig, -1, np.int64)
+        rev = np.arange(order.shape[0] - 1, -1, -1, dtype=np.int64)
+        first_copy[order[rev]] = rev
+        p_s, n_s, uv_s, fm_s = p[order], nrm_c[order], uv[order], face_mat[order]
+        v0 = p_s[:, 0]
+        e1 = p_s[:, 1] - p_s[:, 0]
+        e2 = p_s[:, 2] - p_s[:, 0]
+        light_of_orig = np.full(n_orig, -1, np.int32)
+        light_of_orig[light_orig] = np.arange(light_orig.size, dtype=np.int32)
+        canon = first_copy[light_orig]  # proto-local storage slot per light
+        mean_l = np.asarray(
+            [
+                _texture_mean(texs, mat_table.color_tex[fm_s[c]])
+                for c in canon
+            ],
+            np.float64,
+        ) if canon.size else np.zeros(0)
+        pr_l = dict(
+            canon=canon.astype(np.int64),
+            e1=e1[canon].astype(np.float64) if canon.size else np.zeros((0, 3)),
+            e2=e2[canon].astype(np.float64) if canon.size else np.zeros((0, 3)),
+            mean=mean_l,
+            count=int(canon.size),
+        )
+        proto_lights.append(pr_l)
+        blas_nodes.append(bvh)
+        proto_tri_base.append(tri_cursor)
+        proto_n_storage.append(int(v0.shape[0]))
+        tri_cursor += int(v0.shape[0])
+        all_v0.append(v0); all_e1.append(e1); all_e2.append(e2)
+        all_n.append(n_s); all_uv.append(uv_s); all_mid.append(fm_s)
+        all_t2l.append(light_of_orig[order])
+        all_p2o.append(order.astype(np.int32))
+
+    v0 = np.concatenate(all_v0).astype(np.float32)
+    e1 = np.concatenate(all_e1).astype(np.float32)
+    e2 = np.concatenate(all_e2).astype(np.float32)
+    normals = np.concatenate(all_n).astype(np.float32)
+    uvs = np.concatenate(all_uv).astype(np.float32)
+    mat_id = np.concatenate(all_mid)
+    tri_to_light = np.concatenate(all_t2l)
+    prim_to_orig = np.concatenate(all_p2o)
+
+    # ---- instance tables -------------------------------------------
+    n_inst = len(insts)
+    o2w34 = np.zeros((n_inst, 3, 4), np.float32)
+    w2o34 = np.zeros((n_inst, 3, 4), np.float32)
+    nrm33 = np.zeros((n_inst, 3, 3), np.float32)
+    prim_base = np.zeros(n_inst + 1, np.int64)
+    for i, (_, _, M) in enumerate(insts):
+        Minv = np.linalg.inv(M)
+        o2w34[i] = M[:3, :4]
+        w2o34[i] = Minv[:3, :4]
+        nrm33[i] = Minv[:3, :3].T
+        prim_base[i + 1] = prim_base[i] + proto_n_storage[inst_proto[i]]
+    tri_offset = np.asarray(
+        [proto_tri_base[inst_proto[i]] - prim_base[i] for i in range(n_inst)],
+        np.int32,
+    )
+
+    # ---- lights over (instance, proto light) ------------------------
+    light_base = np.zeros(n_inst, np.int32)
+    lt_tri, lt_power = [], []
+    cursor = 0
+    for i in range(n_inst):
+        light_base[i] = cursor
+        pl = proto_lights[inst_proto[i]]
+        if pl["count"] == 0:
+            continue
+        R = o2w34[i, :, :3].astype(np.float64)
+        we1 = pl["e1"] @ R.T
+        we2 = pl["e2"] @ R.T
+        areas = 0.5 * np.linalg.norm(np.cross(we1, we2), axis=-1)
+        lt_tri.append(prim_base[i] + pl["canon"])
+        lt_power.append(pl["mean"] * areas)
+        cursor += pl["count"]
+    if lt_tri:
+        light_tris = np.concatenate(lt_tri).astype(np.int32)
+        power = np.concatenate(lt_power)
+        pdf, cdf = build_cdf(power)
+        lights = LightTable(
+            tri_id=light_tris, cdf=cdf, pdf=pdf,
+            tri_to_light=tri_to_light,
+            n_lights=int(light_tris.size),
+        )
+    else:
+        lights = LightTable(
+            tri_id=np.zeros(1, np.int32),
+            cdf=np.asarray([0.0, 1.0], np.float32),
+            pdf=np.ones(1, np.float32),
+            tri_to_light=np.full(max(v0.shape[0], 1), -1, np.int32),
+            n_lights=0,
+        )
+
+    # ---- TLAS over instance world AABBs -----------------------------
+    ilo = np.zeros((n_inst, 3)); ihi = np.zeros((n_inst, 3))
+    for i in range(n_inst):
+        b = blas_nodes[inst_proto[i]]
+        lo, hi = b["node_lo"][0].astype(np.float64), b["node_hi"][0].astype(np.float64)
+        corners = np.stack(
+            np.meshgrid(*[(lo[k], hi[k]) for k in range(3)], indexing="ij"),
+            axis=-1,
+        ).reshape(8, 3)
+        wc = corners @ o2w34[i, :, :3].astype(np.float64).T + o2w34[i, :, 3]
+        ilo[i], ihi[i] = wc.min(axis=0), wc.max(axis=0)
+    tlas, tlas_order = build_aabb_bvh(ilo, ihi, max_leaf=1)
+    n_tlas = tlas["node_lo"].shape[0]
+
+    # ---- merge node arrays: [TLAS | BLAS_0 | BLAS_1 ...] ------------
+    node_base = []
+    cur = n_tlas
+    for b in blas_nodes:
+        node_base.append(cur)
+        cur += b["node_lo"].shape[0]
+    merged = {}
+    for k in ("node_lo", "node_hi"):
+        merged[k] = np.concatenate([tlas[k]] + [b[k] for b in blas_nodes])
+    merged["count"] = np.concatenate(
+        [tlas["count"]] + [b["count"] for b in blas_nodes]
+    )
+    merged["first"] = np.concatenate(
+        [tlas["first"]]
+        + [b["first"] + proto_tri_base[p] for p, b in enumerate(blas_nodes)]
+    )
+    merged["miss"] = np.concatenate(
+        [tlas["miss"]]
+        + [np.where(b["miss"] >= 0, b["miss"] + node_base[p], -1)
+           for p, b in enumerate(blas_nodes)]
+    )
+    blas_root = np.asarray(
+        [node_base[inst_proto[i]] for i in range(n_inst)], np.int32
+    )
+
+    instances = InstanceTable(
+        o2w=o2w34, w2o=w2o34, nrm=nrm33,
+        blas_root=blas_root,
+        tri_offset=tri_offset,
+        prim_ends=prim_base[1:].astype(np.int32),
+        light_base=light_base,
+        tlas_inst=np.asarray(tlas_order, np.int32),
+        n_instances=n_inst,
+    )
+
+    return SceneArrays(
+        tri_v0=v0, tri_e1=e1, tri_e2=e2,
+        tri_clusters=None,
+        normals=normals, uvs=uvs, mat_id=mat_id,
+        materials=mat_table, textures=tex_table, lights=lights,
+        bvh=BVHArrays(**merged),
+        prim_to_orig=prim_to_orig,
+        instances=instances,
+        n_tris=int(prim_base[-1]),
+        n_materials=len(mats.items),
+        intersector="bvh",
     )

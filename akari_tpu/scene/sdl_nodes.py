@@ -138,6 +138,34 @@ def _obj_mesh(fields, base_dir="."):
     return obj.load_obj(full)
 
 
+@register_node("Instance")
+def _instance(fields, base_dir="."):
+    """Instanced placement of a prototype mesh (two-level TLAS/BLAS;
+    new capability — the reference SDL has no instancing). Fields:
+    ``mesh`` (a mesh node or ``$ref``), ``translate``/``rotate`` (degrees,
+    ZYX euler)/``scale`` (scalar or 3-vector), or a full ``transform``
+    (16 numbers, row-major); optional ``materials`` override list."""
+    from ..core import transform as xform
+    from .nodes import Instance
+
+    if "transform" in fields:
+        M = np.asarray(fields["transform"], np.float64).reshape(4, 4)
+    else:
+        t = xform.translate(fields.get("translate", [0, 0, 0]))
+        r = xform.euler_zyx(
+            np.radians(np.asarray(fields.get("rotate", [0, 0, 0]), np.float64))
+        )
+        s = np.asarray(fields.get("scale", 1.0), np.float64)
+        s = np.broadcast_to(np.atleast_1d(s), (3,))
+        S = np.diag([s[0], s[1], s[2], 1.0])
+        M = t @ r @ S
+    return Instance(
+        mesh=fields["mesh"],
+        transform=np.asarray(M, np.float32),
+        materials=fields.get("materials") or None,
+    )
+
+
 @register_node("Path")
 def _path(fields, base_dir="."):
     """ref: nodes/integrator.cpp:42-57 (spp/max_depth/tile_size/ray_clamp,
@@ -161,6 +189,7 @@ def _bdpt(fields, base_dir="."):
         light_depth=int(fields.get("light_depth", 3)),
         ray_clamp=float(fields.get("ray_clamp", 20.0)),
         max_vertices=int(fields.get("max_vertices", 0)),
+        light_tracing=bool(fields.get("light_tracing", True)),
     )
 
 

@@ -33,10 +33,14 @@ class LightSample(NamedTuple):
 
 
 def _light_tri_data(scene, tri):
+    """World-space (v0, e1, e2, ng, area) of light triangles.
+
+    ``tri`` are (possibly virtual) prim ids; instanced scenes transform
+    prototype geometry by the owning instance (scene/geom.py)."""
+    from ..scene import geom
+
     xp = _xp(tri)
-    v0 = xp.take(scene.tri_v0, tri, axis=0)
-    e1 = xp.take(scene.tri_e1, tri, axis=0)
-    e2 = xp.take(scene.tri_e2, tri, axis=0)
+    v0, e1, e2 = geom.tri_world(scene, tri, xp)
     ng_raw = cross(e1, e2)
     area2 = xp.sqrt(xp.maximum(dot(ng_raw, ng_raw), 1e-20))
     ng = ng_raw / area2[..., None]
@@ -65,7 +69,9 @@ def sample(scene, u_select, u_pos, p_ref):
     wi = wi_raw / dist[..., None]
 
     cos_light = -dot(wi, ng)  # emission from the front face (ref light.h:66)
-    mat_id = xp.take(scene.mat_id, tri)
+    from ..scene import geom
+
+    mat_id = geom.mat_of_prim(scene, tri, xp)
     double_sided = mat_mod.emissive_double_sided(scene.materials, mat_id)
     cos_eff = xp.where(double_sided, xp.abs(cos_light), cos_light)
     L = mat_mod.emission(scene.materials, scene.textures, mat_id, uv_tex)
@@ -77,8 +83,10 @@ def sample(scene, u_select, u_pos, p_ref):
 
 
 def _light_uv(scene, tri, b):
+    from ..scene import geom
+
     xp = _xp(b)
-    uvs = xp.take(scene.uvs, tri, axis=0)  # [N,3,2]
+    uvs = geom.uvs_of_prim(scene, tri, xp)  # [N,3,2]
     b0 = 1.0 - b[..., 0:1] - b[..., 1:2]
     return uvs[..., 0, :] * b0 + uvs[..., 1, :] * b[..., 0:1] + uvs[..., 2, :] * b[..., 1:2]
 
@@ -88,8 +96,10 @@ def pdf_direction(scene, prim, wi, dist, ng_hit, double_sided):
     the origin along ``wi`` at distance ``dist`` — zero if prim is not a
     light. Used as the MIS counterpart of a BSDF-sampled emissive hit.
     """
+    from ..scene import geom
+
     xp = _xp(wi)
-    li = xp.take(scene.lights.tri_to_light, xp.maximum(prim, 0))
+    li = geom.light_of_prim(scene, xp.maximum(prim, 0), xp)
     is_light = (li >= 0) & (prim >= 0)
     sel_pdf = xp.take(scene.lights.pdf, xp.maximum(li, 0))
     _, _, _, ng, area = _light_tri_data(scene, xp.maximum(prim, 0))
