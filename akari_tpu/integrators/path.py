@@ -106,30 +106,61 @@ def camera_rays(camera, seed, sample_idx, pixel_idx, xp):
     return o, d
 
 
-def _surface_data(scene, prim, bary, xp):
-    """Gather hit-surface attributes for [N] prim ids + [N,2] barycentrics.
+def _vertex_data(scene, prim, bary, xp):
+    """Gather ALL hit-surface attributes for [N] prim ids + [N,2] barys.
 
-    Instance-aware: prim ids may be virtual (two-level scenes) — geometry
-    is decoded to storage and transformed to world space (scene/geom.py);
-    flat scenes take the plain-gather path (a static branch).
+    Flat scenes: ONE aligned fat gather from ``scene.prim_table``
+    (one-hot MXU matmul for small scenes, ops/gather.py) — the shading
+    path's entire per-hit memory traffic. Instanced scenes decode virtual
+    prim ids and transform prototype geometry to world space
+    (scene/geom.py) — a static branch.
+
+    Returns a dict: p, ng, ns, uv, mat_id, e1, e2, light_pdf (the hit
+    triangle's NEE selection pmf; 0 for non-lights — powers MIS without a
+    second gather).
     """
-    from ..scene import geom
-
     pid = xp.maximum(prim, 0)
-    v0, e1, e2 = geom.tri_world(scene, pid, xp)
+    if scene.prim_table is not None and scene.instances is None:
+        from ..ops.gather import gather_rows
+
+        fat = gather_rows(scene.prim_table, pid)
+        v0, e1, e2 = fat[..., 0:3], fat[..., 3:6], fat[..., 6:9]
+        n0, n1, n2 = fat[..., 9:12], fat[..., 12:15], fat[..., 15:18]
+        uv0, uv1, uv2 = fat[..., 18:20], fat[..., 20:22], fat[..., 22:24]
+        mat_id = fat[..., 24].astype(xp.int32)
+        light_pdf = fat[..., 25]
+    else:
+        from ..scene import geom
+
+        v0, e1, e2 = geom.tri_world(scene, pid, xp)
+        ns_c = geom.normals_world(scene, pid, xp)  # [N,3,3]
+        n0, n1, n2 = ns_c[:, 0], ns_c[:, 1], ns_c[:, 2]
+        uv_c = geom.uvs_of_prim(scene, pid, xp)  # [N,3,2]
+        uv0, uv1, uv2 = uv_c[:, 0], uv_c[:, 1], uv_c[:, 2]
+        mat_id = geom.mat_of_prim(scene, pid, xp)
+        li = geom.light_of_prim(scene, pid, xp)
+        light_pdf = xp.where(
+            li >= 0, xp.take(scene.lights.pdf, xp.maximum(li, 0)), 0.0
+        )
     u = bary[..., 0:1]
     v = bary[..., 1:2]
     p = v0 + u * e1 + v * e2
     ng = normalize(cross(e1, e2), eps=1e-20)
-    ns_c = geom.normals_world(scene, pid, xp)  # [N,3,3]
     w0 = 1.0 - u - v
-    ns = normalize(ns_c[:, 0] * w0 + ns_c[:, 1] * u + ns_c[:, 2] * v, eps=1e-12)
+    ns = normalize(n0 * w0 + n1 * u + n2 * v, eps=1e-12)
     # fall back to ng for degenerate shading normals
     ns = xp.where((dot(ns, ns) > 0.5)[..., None], ns, ng)
-    uv_c = geom.uvs_of_prim(scene, pid, xp)  # [N,3,2]
-    uv = uv_c[:, 0] * w0 + uv_c[:, 1] * u + uv_c[:, 2] * v
-    mat_id = geom.mat_of_prim(scene, pid, xp)
-    return p, ng, ns, uv, mat_id
+    uv = uv0 * w0 + uv1 * u + uv2 * v
+    return {
+        "p": p, "ng": ng, "ns": ns, "uv": uv, "mat_id": mat_id,
+        "e1": e1, "e2": e2, "light_pdf": light_pdf,
+    }
+
+
+def _surface_data(scene, prim, bary, xp):
+    """Hit attributes as the classic 5-tuple (p, ng, ns, uv, mat_id)."""
+    vd = _vertex_data(scene, prim, bary, xp)
+    return vd["p"], vd["ng"], vd["ns"], vd["uv"], vd["mat_id"]
 
 
 def trace_paths(
@@ -196,22 +227,27 @@ def trace_paths(
     return L
 
 
-def _emission_term(scene, cfg, state, bounce, xp):
+def _emission_term(scene, cfg, state, bounce, xp, vd=None):
     """Add this vertex's (MIS-weighted) emission to L and return it
     (ref: pathtracer.h:102-111). ``bounce`` may be traced (scan) or int."""
     (t, prim, bary, valid), o, d, L, beta, active, prev_pdf = state
     active = active & valid
-    p, ng, ns, uv, mat_id = _surface_data(scene, prim, bary, xp)
-    Le = mat_mod.emission(scene.materials, scene.textures, mat_id, uv)
-    double_sided = mat_mod.emissive_double_sided(scene.materials, mat_id)
-    front = dot(d, ng) < 0.0
+    if vd is None:
+        vd = _vertex_data(scene, prim, bary, xp)
+    Le, double_sided = mat_mod.emission_and_sided(
+        scene.materials, scene.textures, vd["mat_id"], vd["uv"]
+    )
+    front = dot(d, vd["ng"]) < 0.0
     emit_ok = double_sided | front
     n = o.shape[0]
     if cfg.mis == "bsdf":
         w_emit = xp.ones((n,), xp.float32)
     else:
         if cfg.mis:
-            nee_pdf = light_mod.pdf_direction(scene, prim, d, t, ng, double_sided)
+            nee_pdf = light_mod.pdf_direction_from(
+                vd["e1"], vd["e2"], vd["light_pdf"], valid, d, t,
+                double_sided, xp,
+            )
             later = sampling.power_heuristic(prev_pdf, nee_pdf)
         else:
             later = xp.zeros((n,), xp.float32)
@@ -227,11 +263,12 @@ def _bounce_step(scene, cfg, seed, sample_idx, pixel_idx, state, bounce,
     ``bounce`` may be a traced scalar (lax.scan) or a python int (the
     unrolled/oracle path) — all bounce-dependent logic is branchless.
     """
-    L = _emission_term(scene, cfg, state, bounce, xp)
     (t, prim, bary, valid), o, d, _, beta, active, prev_pdf = state
+    vd = _vertex_data(scene, prim, bary, xp)
+    L = _emission_term(scene, cfg, state, bounce, xp, vd=vd)
     active = active & valid
     n = o.shape[0]
-    p, ng, ns, uv, mat_id = _surface_data(scene, prim, bary, xp)
+    p, ng, ns, uv, mat_id = vd["p"], vd["ng"], vd["ns"], vd["uv"], vd["mat_id"]
     wo = -d
 
     # ---- material selection + closure (ref: material.h:255-297) ----

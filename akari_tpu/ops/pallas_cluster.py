@@ -72,9 +72,11 @@ def _cluster_kernel(rays_ref, clusters_ref, tris_hbm, out_ref,
 
     ix, iy, iz = inv(dx), inv(dy), inv(dz)
 
+    # best-t starts at per-ray t_max (rays col 7) so closest-hit honors
+    # bounded queries (same contract as pallas_intersect._closest_kernel).
     init = jnp.concatenate(
         [
-            jnp.full((RAY_TILE, 1), _BIG, jnp.float32),
+            jnp.minimum(rays[:, 7:8], _BIG),
             jnp.zeros((RAY_TILE, 2), jnp.float32),
             jnp.full((RAY_TILE, 1), -1.0, jnp.float32),
         ],

@@ -83,9 +83,12 @@ def _closest_kernel(rays_ref, tris_ref, out_ref):
 
     @pl.when(j == 0)
     def _():
+        # best-t starts at the per-ray t_max (rays col 7): hits beyond it
+        # never register, so closest-hit honors bounded queries (the fused
+        # shadow+extension launch in integrators/path.py relies on this).
         init = jnp.concatenate(
             [
-                jnp.full((RAY_TILE, 1), _BIG, jnp.float32),
+                jnp.minimum(rays_ref[:, 7:8], _BIG),
                 jnp.zeros((RAY_TILE, 2), jnp.float32),
                 jnp.full((RAY_TILE, 1), -1.0, jnp.float32),
             ],

@@ -50,7 +50,7 @@ def pytree_dataclass(cls=None, *, meta=()):
     return wrap(cls) if cls is not None else wrap
 
 
-@pytree_dataclass
+@pytree_dataclass(meta=("has_images",))
 class TextureTable:
     """All textures in the scene, SoA.
 
@@ -58,6 +58,10 @@ class TextureTable:
     and as a multiplier for image textures. Images are padded to a common
     [Hm, Wm] and stacked (static shapes for XLA).
     ref: kernel/texture.h:30-66 (ConstantTexture / ImageTexture variant).
+
+    ``has_images`` is static: False lets shading skip the bilinear image
+    path entirely at trace time (constant-only scenes resolve textures to
+    a flat [X,3] value table — the hot path on TPU).
     """
 
     kind: jax.Array      # [X] int32
@@ -65,14 +69,18 @@ class TextureTable:
     image_id: jax.Array  # [X] int32 (index into images; 0 if unused)
     images: jax.Array    # [I, Hm, Wm, 3] float32 (at least I=1 dummy)
     image_sizes: jax.Array  # [I, 2] int32 (h, w actually used)
+    has_images: bool = False
 
 
-@pytree_dataclass
+@pytree_dataclass(meta=("has_mix",))
 class MaterialTable:
     """All materials, SoA (ref: Material variant, kernel/material.h:249-299).
 
     kind: MAT_*; color_tex / roughness_tex / fraction_tex are texture ids;
     mix_a / mix_b are material ids (for MAT_MIX); double_sided for emissive.
+
+    ``has_mix`` is static: False skips the MAX_MIX_DEPTH selection walk at
+    trace time (most scenes have no Mix materials).
     """
 
     kind: jax.Array          # [M] int32
@@ -82,6 +90,7 @@ class MaterialTable:
     mix_a: jax.Array         # [M] int32
     mix_b: jax.Array         # [M] int32
     double_sided: jax.Array  # [M] bool
+    has_mix: bool = False
 
 
 @pytree_dataclass(meta=("n_lights",))
@@ -173,6 +182,12 @@ class SceneArrays:
     bvh: BVHArrays
     # [K, 8] AABBs over 128-triangle BVH-ordered runs (ops/pallas_cluster.py)
     tri_clusters: jax.Array = None
+    # [T, 32] fat per-triangle shading-attribute table (flat scenes): one
+    # aligned gather (one-hot MXU matmul for small T, ops/gather.py) replaces
+    # ~10 narrow gathers per bounce. Columns: v0(0:3) e1(3:6) e2(6:9)
+    # normals(9:18) uvs(18:24) mat_id(24) light_sel_pdf(25) pad(26:32).
+    # Derived from the same storage as tri_v0/normals/uvs at compile.
+    prim_table: jax.Array = None
     # [T] int32: storage slot -> original triangle id. With SBVH spatial
     # splits a triangle occupies several storage slots; this recovers the
     # physical identity (duplicate copies share one original id).

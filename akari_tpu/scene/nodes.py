@@ -312,10 +312,12 @@ def _compile_textures_materials(materials):
         kind=kind, color_tex=color_tex, roughness_tex=roughness_tex,
         fraction_tex=fraction_tex, mix_a=mix_a, mix_b=mix_b,
         double_sided=double_sided,
+        has_mix=bool((kind == MAT_MIX).any()),
     )
     tex_table = TextureTable(
         kind=t_kind, value=t_value, image_id=t_image,
         images=stack, image_sizes=sizes,
+        has_images=bool(images),
     )
     return mats, mat_table, tex_table, texs
 
@@ -424,11 +426,29 @@ def compile_scene(shapes, intersector="bvh"):
 
     clusters = build_clusters(v0, e1, e2)
 
+    # Fat shading table: all per-hit attributes behind ONE aligned gather
+    # (see arrays.SceneArrays.prim_table for the column layout).
+    t_count = v0.shape[0]
+    light_sel_pdf = np.where(
+        lights.tri_to_light >= 0,
+        np.asarray(lights.pdf)[np.maximum(lights.tri_to_light, 0)],
+        0.0,
+    ).astype(np.float32)
+    prim_table = np.zeros((t_count, 32), np.float32)
+    prim_table[:, 0:3] = v0
+    prim_table[:, 3:6] = e1
+    prim_table[:, 6:9] = e2
+    prim_table[:, 9:18] = n.reshape(t_count, 9)
+    prim_table[:, 18:24] = uv.reshape(t_count, 6)
+    prim_table[:, 24] = face_mat.astype(np.float32)  # exact for < 2^24 mats
+    prim_table[:, 25] = light_sel_pdf
+
     return SceneArrays(
         tri_v0=v0.astype(np.float32),
         tri_e1=e1.astype(np.float32),
         tri_e2=e2.astype(np.float32),
         tri_clusters=clusters,
+        prim_table=prim_table,
         normals=n.astype(np.float32),
         uvs=uv.astype(np.float32),
         mat_id=face_mat,

@@ -29,13 +29,85 @@ from .bsdf import (
 )
 
 
+def _resolved_closure_table(materials, textures, xp):
+    """[M, 16] closure params resolved against CONSTANT textures.
+
+    Built per trace from the (differentiable) texture value table — [M]-sized
+    work hoisted out of the per-lane hot path so shading needs exactly one
+    aligned fat gather per use site (ops/gather.py) instead of ~8 narrow
+    ones. Only valid when ``textures.has_images`` is False (image textures
+    make params uv-dependent; those scenes take the general path).
+
+    Columns: closure_kind(0) color(1:4) alpha(4) emission(5:8)
+    double_sided(8) frac(9) mix_a(10) mix_b(11) is_mix(12) pad(13:16).
+    """
+    kind = materials.kind
+    color = xp.take(textures.value, materials.color_tex, axis=0)  # [M,3]
+    rough = xp.take(textures.value[:, 0], materials.roughness_tex)
+    frac = xp.clip(
+        xp.take(textures.value[:, 0], materials.fraction_tex), 1e-4, 1.0 - 1e-4
+    )
+    alpha = xp.maximum(rough * rough, 1e-4)
+    closure_kind = xp.where(
+        kind == MAT_DIFFUSE,
+        CLOSURE_DIFFUSE,
+        xp.where(
+            kind == MAT_GLOSSY,
+            CLOSURE_MICROFACET,
+            xp.where(kind == MAT_MIRROR, CLOSURE_SPECULAR, CLOSURE_NULL),
+        ),
+    )
+    emission_rgb = xp.where((kind == MAT_EMISSIVE)[:, None], color, 0.0)
+    m = kind.shape[0]
+    f32 = xp.float32
+    cols = [
+        closure_kind.astype(f32)[:, None],
+        color.astype(f32),
+        alpha.astype(f32)[:, None],
+        emission_rgb.astype(f32),
+        materials.double_sided.astype(f32)[:, None],
+        frac.astype(f32)[:, None],
+        materials.mix_a.astype(f32)[:, None],
+        materials.mix_b.astype(f32)[:, None],
+        (kind == MAT_MIX).astype(f32)[:, None],
+        xp.zeros((m, 3), f32),
+    ]
+    return xp.concatenate(cols, axis=1)
+
+
 def select_material(materials, textures, mat_id, u, uv):
     """Resolve Mix chains: ([N] ids, [N] u, [N,2] uv) -> (leaf_id, choice_pdf).
 
     Picks B with probability ``fraction`` (rescaling u each step), matching
     the reference's walk (material.h:255-271: u < frac -> B, pdf *= 1/frac).
+    Scenes without Mix materials skip the walk statically.
     """
     xp = _xp(u)
+    if not materials.has_mix:
+        return mat_id, xp.ones_like(u)
+    if not textures.has_images:
+        from ..ops.gather import gather_rows
+
+        ct = _resolved_closure_table(materials, textures, xp)
+        choice_pdf = xp.ones_like(u)
+        cur = mat_id
+        for _ in range(MAX_MIX_DEPTH):
+            fat = gather_rows(ct, cur)
+            is_mix = fat[..., 12] > 0.5
+            frac = fat[..., 9]
+            safe_frac = xp.clip(frac, 1e-4, 1.0 - 1e-4)
+            pick_b = u < safe_frac
+            next_id = xp.where(pick_b, fat[..., 11], fat[..., 10]).astype(
+                xp.int32
+            )
+            new_u = xp.where(
+                pick_b, u / safe_frac, (u - safe_frac) / (1.0 - safe_frac)
+            )
+            step_pdf = xp.where(pick_b, 1.0 / safe_frac, 1.0 / (1.0 - safe_frac))
+            cur = xp.where(is_mix, next_id, cur)
+            u = xp.where(is_mix, new_u, u)
+            choice_pdf = xp.where(is_mix, choice_pdf * step_pdf, choice_pdf)
+        return cur, choice_pdf
     choice_pdf = xp.ones_like(u)
     cur = mat_id
     for _ in range(MAX_MIX_DEPTH):
@@ -59,9 +131,22 @@ def closure_params(materials, textures, leaf_id, choice_pdf, uv):
     """Leaf material ids -> SoA closure params for shading/bsdf.py.
 
     Glossy roughness is squared before use as the microfacet alpha
-    (ref: GlossyMaterial::get_bsdf, material.h:198-205).
+    (ref: GlossyMaterial::get_bsdf, material.h:198-205). Constant-texture
+    scenes resolve via one fat gather; image textures take the general path.
     """
     xp = _xp(choice_pdf)
+    if not textures.has_images:
+        from ..ops.gather import gather_rows
+
+        ct = _resolved_closure_table(materials, textures, xp)
+        fat = gather_rows(ct, leaf_id)
+        return {
+            "kind": fat[..., 0].astype(xp.int32),
+            "color": fat[..., 1:4],
+            "alpha": fat[..., 4],
+            "dist": xp.full(leaf_id.shape, mf.GGX, xp.int32),
+            "choice_pdf": choice_pdf,
+        }
     kind = xp.take(materials.kind, leaf_id)
     color = tex.evaluate(textures, xp.take(materials.color_tex, leaf_id), uv)
     rough = tex.evaluate_scalar(
@@ -89,9 +174,26 @@ def closure_params(materials, textures, leaf_id, choice_pdf, uv):
 def emission(materials, textures, mat_id, uv):
     """[N,3] emitted radiance (zero for non-emissive materials)."""
     xp = _xp(uv)
+    if not textures.has_images:
+        return emission_and_sided(materials, textures, mat_id, uv)[0]
     kind = xp.take(materials.kind, mat_id)
     color = tex.evaluate(textures, xp.take(materials.color_tex, mat_id), uv)
     return xp.where((kind == MAT_EMISSIVE)[..., None], color, 0.0)
+
+
+def emission_and_sided(materials, textures, mat_id, uv):
+    """([N,3] Le, [N] double_sided) in one fat gather (hot-path helper)."""
+    xp = _xp(uv)
+    if not textures.has_images:
+        from ..ops.gather import gather_rows
+
+        ct = _resolved_closure_table(materials, textures, xp)
+        fat = gather_rows(ct, mat_id)
+        return fat[..., 5:8], fat[..., 8] > 0.5
+    return (
+        emission(materials, textures, mat_id, uv),
+        emissive_double_sided(materials, mat_id),
+    )
 
 
 def is_emissive(materials, mat_id):

@@ -105,6 +105,7 @@ def test_mix_material_selection():
         mix_a=np.asarray([1, 0, 0], np.int32),
         mix_b=np.asarray([2, 0, 0], np.int32),
         double_sided=np.zeros(3, bool),
+        has_mix=True,
     )
     texs = TextureTable(
         kind=np.full(5, TEX_CONSTANT, np.int32),

@@ -61,6 +61,29 @@ def test_pallas_occlude_matches_brute():
     np.testing.assert_array_equal(np.asarray(op), np.asarray(ob))
 
 
+def test_pallas_closest_honors_t_max():
+    """Regression: closest-hit must not report hits beyond per-ray t_max —
+    the fused shadow+extension launch (integrators/path.py) reads
+    ``h.valid`` of a t_max-bounded query as the occlusion answer."""
+    scene_p = cornell_box(16, 16).compile(intersector="pallas")
+    scene_b = cornell_box(16, 16).compile(intersector="brute")
+    o, d = _rays(300, seed=7)
+    hb = intersect(scene_b, o, d)
+    t_ref = np.asarray(hb.t)
+    valid_ref = np.asarray(hb.valid)
+    # cut half the rays short of their own hit distance
+    t_max = np.where(
+        np.arange(300) % 2 == 0, t_ref * 0.5, np.full(300, 1e30)
+    ).astype(np.float32)
+    hp = intersect(scene_p, o, d, t_max=jnp.asarray(t_max))
+    hb2 = intersect(scene_b, o, d, t_max=jnp.asarray(t_max))
+    np.testing.assert_array_equal(
+        np.asarray(hp.valid), np.asarray(hb2.valid)
+    )
+    # even-index valid rays must now be misses
+    assert not np.any(np.asarray(hp.valid)[::2] & valid_ref[::2])
+
+
 def test_pallas_ray_padding():
     """Non-multiple-of-128 ray counts are padded with never-hit rays."""
     scene_p = cornell_box(16, 16).compile(intersector="pallas")
