@@ -15,8 +15,14 @@ import sys
 import numpy as np
 
 
-def _mat_to_sdl(name, mat):
-    """Material node -> SDL export statement text."""
+def _mat_to_sdl(name, mat, outdir="."):
+    """Material node -> SDL export statement text.
+
+    Image textures round-trip by path (ref: akari-import.cpp map_Kd
+    translation): emitted relative to the generated .akari's directory when
+    possible (resolve_texture joins string paths against it), absolute
+    otherwise.
+    """
     from ..scene.nodes import (
         ConstantTexture,
         DiffuseMaterial,
@@ -29,7 +35,11 @@ def _mat_to_sdl(name, mat):
     def tex(t):
         t = ConstantTexture.coerce(t) if not isinstance(t, ImageTexture) else t
         if isinstance(t, ImageTexture):
-            return '"<image>"'  # image path is not round-tripped
+            p = t.path or "<image>"
+            rel = os.path.relpath(p, outdir)
+            if not rel.startswith(".."):
+                p = rel
+            return '"' + p.replace("\\", "/") + '"'
         v = t.value
         return f"[{v[0]:g},{v[1]:g},{v[2]:g}]"
 
@@ -43,8 +53,8 @@ def _mat_to_sdl(name, mat):
     elif isinstance(mat, MixMaterial):
         # flatten one level: emit A/B inline via let-bindings
         return (
-            f"let {name}_A = {_inline(mat.material_a)}\n"
-            f"let {name}_B = {_inline(mat.material_b)}\n"
+            f"let {name}_A = {_inline(mat.material_a, outdir)}\n"
+            f"let {name}_B = {_inline(mat.material_b, outdir)}\n"
             f"export {name} = MixMaterial {{\n  fraction: {tex(mat.fraction)},\n"
             f"  material_A: ${name}_A,\n  material_B: ${name}_B\n}}"
         )
@@ -53,8 +63,8 @@ def _mat_to_sdl(name, mat):
     return f"export {name} = {body}"
 
 
-def _inline(mat):
-    lines = _mat_to_sdl("_x", mat)
+def _inline(mat, outdir="."):
+    lines = _mat_to_sdl("_x", mat, outdir)
     return lines.split("= ", 1)[1]
 
 
@@ -86,7 +96,7 @@ def main(argv=None):
     for i, m in enumerate(mesh.materials):
         mname = f"{name}_mat{i}"
         mat_names.append(mname)
-        sdl_lines.append(_mat_to_sdl(mname, m))
+        sdl_lines.append(_mat_to_sdl(mname, m, outdir))
         sdl_lines.append("")
     mats_list = ",\n    ".join(f"${n}" for n in mat_names)
     sdl_lines.append(

@@ -17,8 +17,12 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default=None, help="output image path")
     ap.add_argument("--spp", type=int, default=None, help="override spp")
     ap.add_argument("--max-depth", type=int, default=None)
-    ap.add_argument("--intersector", default="bvh",
-                    choices=["bvh", "brute", "pallas"])
+    ap.add_argument("--intersector", default="auto",
+                    choices=["auto", "bvh", "brute", "pallas"])
+    ap.add_argument("--spectrum-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="numeric variant for radiance/throughput "
+                         "(ref: akari.conf Config<Float,Spectrum>)")
     ap.add_argument("--ao", action="store_true", help="ambient occlusion mode")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sharded", action="store_true",
@@ -97,6 +101,11 @@ def main(argv=None):
             cfg = dataclasses.replace(cfg, spp=args.spp)
         if args.max_depth:
             cfg = dataclasses.replace(cfg, max_depth=args.max_depth)
+        if args.spectrum_dtype != "float32":
+            from ..utils.config import RGB_BF16, variant_string
+
+            cfg = dataclasses.replace(cfg, dtypes=RGB_BF16)
+            log.info(f"variant: {variant_string(cfg.dtypes)}")
         if args.sharded:
             from ..parallel.mesh import make_ray_mesh
             from ..parallel.render import render_sharded

@@ -1,1 +1,1 @@
-from . import vecmath, transform, aabb, rng, distribution, spectrum
+from . import vecmath, transform, rng, distribution, spectrum

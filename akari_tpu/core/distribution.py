@@ -44,15 +44,3 @@ def pdf_discrete(cdf, idx):
     xp = _xp(idx)
     cdf = xp.asarray(cdf)
     return xp.take(cdf, idx + 1) - xp.take(cdf, idx)
-
-
-def sample_continuous(cdf, u):
-    """u -> (x in [0,1), pdf, index) for a piecewise-constant density."""
-    xp = _xp(u)
-    cdf = xp.asarray(cdf)
-    n = cdf.shape[0] - 1
-    idx, pmf = sample_discrete(cdf, u)
-    lo = xp.take(cdf, idx)
-    du = xp.where(pmf > 0.0, (u - lo) / xp.where(pmf > 0.0, pmf, 1.0), 0.0)
-    x = (idx.astype(xp.float32) + du) / n
-    return x, pmf * n, idx

@@ -4,8 +4,7 @@ The reference accumulates per-tile ``Pixel{radiance, weight}`` then merges
 tiles under a mutex. On TPU the whole frame's samples are produced as a
 ``[S, H, W, 3]`` batch (or per-shard slices), so accumulation is a plain
 sum-reduce — and the multi-chip merge is a ``psum`` (parallel/render.py)
-instead of a mutex. ``scatter_accumulate`` covers the general case where
-rays carry explicit pixel ids (tiled/compacted rendering).
+instead of a mutex.
 """
 
 from __future__ import annotations
@@ -52,24 +51,3 @@ def accumulate_samples(sample_radiance):
     radiance = xp.sum(sample_radiance, axis=0)
     weight = xp.full(sample_radiance.shape[1:3], float(s), dtype=xp.float32)
     return radiance, weight
-
-
-def scatter_accumulate(height, width, pixel_ids, radiance, weight=None):
-    """Scatter-add ray contributions into a frame.
-
-    pixel_ids: [N] int32 flat pixel index; radiance: [N,3]; weight: [N].
-    Used by tiled/sharded renderers where a shard covers a pixel subset.
-    """
-    xp = _xp(radiance)
-    n = pixel_ids.shape[0]
-    if weight is None:
-        weight = xp.ones((n,), dtype=xp.float32)
-    flat_r = xp.zeros((height * width, 3), dtype=xp.float32)
-    flat_w = xp.zeros((height * width,), dtype=xp.float32)
-    if xp is np:
-        np.add.at(flat_r, pixel_ids, radiance)
-        np.add.at(flat_w, pixel_ids, weight)
-    else:
-        flat_r = flat_r.at[pixel_ids].add(radiance)
-        flat_w = flat_w.at[pixel_ids].add(weight)
-    return flat_r.reshape(height, width, 3), flat_w.reshape(height, width)

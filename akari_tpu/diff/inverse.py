@@ -32,11 +32,24 @@ class InverseConfig:
     seed: int = 0
 
 
-def scene_params(scene, optimize_images=False):
-    """Extract the optimizable parameter pytree from a compiled scene."""
+def scene_params(scene, optimize_images=False, optimize_geometry=False):
+    """Extract the optimizable parameter pytree from a compiled scene.
+
+    ``optimize_geometry`` adds ``tri_delta`` [T,3]: a per-storage-triangle
+    world-space translation, applied to the differentiable geometry uses
+    (hit positions via the prim_table gather, NEE light-sample positions,
+    geometric normals via e1/e2 — all in integrators/path.py +
+    shading/light.py). Gradients are the **interior** (reparameterized-
+    barycentric, detached-hit) term: visibility/silhouette derivatives are
+    detached by the intersector (ops/intersect.py). Note the acceleration
+    structures are built for the undisplaced geometry — after large
+    accumulated deltas, re-``compile()`` the scene.
+    """
     params = {"tex_value": scene.textures.value}
     if optimize_images:
         params["tex_images"] = scene.textures.images
+    if optimize_geometry:
+        params["tri_delta"] = jnp.zeros_like(jnp.asarray(scene.tri_v0))
     return params
 
 
@@ -48,7 +61,17 @@ def apply_params(scene, params):
     tex = dataclasses.replace(tex, value=params["tex_value"])
     if "tex_images" in params:
         tex = dataclasses.replace(tex, images=params["tex_images"])
-    return dataclasses.replace(scene, textures=tex)
+    scene = dataclasses.replace(scene, textures=tex)
+    if "tri_delta" in params:
+        d = params["tri_delta"]
+        repl = {"tri_v0": jnp.asarray(scene.tri_v0) + d}
+        if scene.prim_table is not None:
+            # keep the fat shading table coherent (v0 lives in cols 0:3)
+            repl["prim_table"] = (
+                jnp.asarray(scene.prim_table).at[:, 0:3].add(d)
+            )
+        scene = dataclasses.replace(scene, **repl)
+    return scene
 
 
 def inverse_render(scene, camera, render_cfg, target, mesh, cfg=None):
@@ -71,10 +94,21 @@ def inverse_render(scene, camera, render_cfg, target, mesh, cfg=None):
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, seed):
         (loss, img), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, seed)
+        # MC gradient estimates can contain stray non-finite lanes (e.g. a
+        # roughness driven to the clamp boundary); zero them rather than
+        # poisoning the Adam moments.
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+        )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        # parameters are physically non-negative (albedo/radiance)
-        params = jax.tree_util.tree_map(lambda p: jnp.maximum(p, 0.0), params)
+        # texture parameters are physically non-negative (albedo/radiance);
+        # keep a tiny positive floor so e.g. zero roughness cannot NaN the
+        # GGX pdf. Geometry deltas are signed and stay unclamped.
+        params = {
+            k: (p if k == "tri_delta" else jnp.maximum(p, 1e-4))
+            for k, p in params.items()
+        }
         return params, opt_state, loss, img
 
     losses = []

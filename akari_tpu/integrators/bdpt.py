@@ -503,6 +503,14 @@ def trace_bdpt(scene, camera, cfg, seed, sample_idx, pixel_idx,
     )
     L = xp.zeros((n, 3), xp.float32)
 
+    # All connection/splat visibility rays are queued and answered by ONE
+    # batched occlusion launch at the end (the fused-launch idea from
+    # path.py:370-381 applied across every (s,t) pair): eye_depth x
+    # light_depth (+ light-tracing) launches collapse to one, which keeps
+    # the TPU fed with a single large wavefront instead of ~12 small ones.
+    # Entries: (o, d, t_max, payload) with payload ("conn"|"splat", ...).
+    shadow_q = []
+
     cap = cfg.max_vertices if cfg.max_vertices > 0 else 1 << 30
 
     # ---- s = 0: eye path hits an emitter ----
@@ -585,15 +593,11 @@ def trace_bdpt(scene, camera, cfg, seed, sample_idx, pixel_idx,
             o_sh = pl + w_cam * (
                 RAY_EPS / xp.maximum(xp.abs(dot(light["ng"][:, s], w_cam)), 1e-4)
             )[..., None]
-            occluded = occlude_fn(
-                o_sh, w_cam, xp.zeros((n,), xp.float32), dist * (1.0 - SHADOW_EPS)
-            )
             w = _mis_weight_t1(light, s, rev_l_s, rev_l_sm1, cfg.eye_depth, xp)
-            val = contrib * ((ok & ~occluded) * w)[..., None]
-            if cfg.ray_clamp > 0:
-                val = xp.minimum(val, cfg.ray_clamp)
-            val = xp.where(xp.isfinite(val), val, 0.0)
-            splat = _scatter_add(splat, pix, val, xp)
+            shadow_q.append((
+                o_sh, w_cam, dist * (1.0 - SHADOW_EPS),
+                ("splat", contrib, ok, w, pix),
+            ))
 
     # ---- connections (s >= 1, t >= 1) ----
     for t in range(cfg.eye_depth):
@@ -671,14 +675,35 @@ def trace_bdpt(scene, camera, cfg, seed, sample_idx, pixel_idx,
             o_sh = pe + w_el * (
                 RAY_EPS / xp.maximum(xp.abs(dot(eye["ng"][:, t], w_el)), 1e-4)
             )[..., None]
-            occluded = occlude_fn(
-                o_sh, w_el, xp.zeros((n,), xp.float32), dist * (1.0 - SHADOW_EPS)
-            )
             w = _mis_weight(
                 eye, light, s, t, rev_e_t, rev_e_tm1, rev_l_s, rev_l_sm1,
                 cfg.light_depth, xp, t1=t1,
             )
-            L = L + contrib * (ok & ~occluded)[..., None] * w[..., None]
+            shadow_q.append((
+                o_sh, w_el, dist * (1.0 - SHADOW_EPS),
+                ("conn", contrib, ok, w),
+            ))
+
+    # ---- one batched occlusion launch for every queued connection ----
+    if shadow_q:
+        o_all = xp.concatenate([q[0] for q in shadow_q], axis=0)
+        d_all = xp.concatenate([q[1] for q in shadow_q], axis=0)
+        t_all = xp.concatenate([q[2] for q in shadow_q], axis=0)
+        occ_all = occlude_fn(
+            o_all, d_all, xp.zeros((o_all.shape[0],), xp.float32), t_all
+        )
+        for i, (_, _, _, payload) in enumerate(shadow_q):
+            occluded = occ_all[i * n:(i + 1) * n]
+            if payload[0] == "splat":
+                _, contrib, ok, w, pix = payload
+                val = contrib * ((ok & ~occluded) * w)[..., None]
+                if cfg.ray_clamp > 0:
+                    val = xp.minimum(val, cfg.ray_clamp)
+                val = xp.where(xp.isfinite(val), val, 0.0)
+                splat = _scatter_add(splat, pix, val, xp)
+            else:
+                _, contrib, ok, w = payload
+                L = L + contrib * (ok & ~occluded)[..., None] * w[..., None]
 
     if cfg.ray_clamp > 0:
         L = xp.minimum(L, cfg.ray_clamp)

@@ -37,6 +37,7 @@ from ..core.vecmath import _xp, cross, dot, normalize
 from ..shading import bsdf as bsdf_mod
 from ..shading import light as light_mod
 from ..shading import material as mat_mod
+from ..utils.config import RGB, DtypePolicy
 
 RAY_EPS = 1e-4
 SHADOW_EPS = 1e-3
@@ -48,6 +49,9 @@ class PathConfig:
 
     spp: int = 4
     max_depth: int = 5
+    # Numeric variant (ref: akari.conf Config<Float,Spectrum>): L/beta are
+    # carried across the bounce scan in dtypes.spectrum.
+    dtypes: DtypePolicy = RGB
     # estimator: True = NEE+MIS; False = NEE-only w/ depth-0 emission
     # (the reference's estimator); "bsdf" = BSDF-sampling only with emission
     # at every depth (no NEE) — slowest-converging but simplest unbiased
@@ -187,8 +191,9 @@ def trace_paths(
     """
     o, d = camera_rays(camera, seed, sample_idx, pixel_idx, xp)
     n = o.shape[0]
-    L = xp.zeros((n, 3), xp.float32)
-    beta = xp.ones((n, 3), xp.float32)
+    sdt = cfg.dtypes.spectrum
+    L = xp.zeros((n, 3), sdt)
+    beta = xp.ones((n, 3), sdt)
     active = xp.ones((n,), bool)
     prev_pdf = xp.zeros((n,), xp.float32)
 
@@ -219,6 +224,7 @@ def trace_paths(
                 intersect_fn, occlude_fn, fused_fn, xp,
             )
     L = _emission_term(scene, cfg, state, cfg.max_depth, xp)
+    L = L.astype(cfg.dtypes.accum)
 
     if cfg.ray_clamp > 0.0:
         L = xp.minimum(L, cfg.ray_clamp)
@@ -347,7 +353,11 @@ def _bounce_step(scene, cfg, seed, sample_idx, pixel_idx, state, bounce,
     if do_nee:
         L = L + nee_contrib * (useful & ~occluded)[..., None] * w_nee[..., None]
 
-    return (hit, o, d, L, beta, ok, pdf)
+    # Carry the wavefront's spectrum state in the configured variant dtype
+    # (mixed-dtype arithmetic above promotes to f32; cast back on the way
+    # into the scan carry so bf16 actually halves the live state).
+    sdt = cfg.dtypes.spectrum
+    return (hit, o, d, L.astype(sdt), beta.astype(sdt), ok, pdf)
 
 
 def _jax_intersectors(scene):

@@ -1,23 +1,32 @@
-"""Cluster-skip Pallas intersector: two-level ray-stream tracing.
+"""Hierarchical cluster-skip Pallas intersector: three-level ray-stream
+tracing that scales to multi-million-triangle scenes.
 
-Scales the dense ray-stream idea (pallas_intersect.py) to large scenes:
-triangles are grouped into fixed-size clusters of TRI_TILE consecutive
-BVH-ordered triangles (spatially coherent by construction), each with a
-precomputed AABB. Per 512-ray tile the kernel walks the cluster list:
+TPU-native replacement for the reference's logarithmic accelerator
+(ref: src/akari/kernel/bvh-accelerator.h:488-547 stack traversal,
+:551-683 two-level) redesigned for a vector machine: per-lane BVH walks
+gather poorly under Mosaic, so divergence is kept at (ray-tile x node)
+granularity and all leaf work is dense VPU math — the classic "ray
+stream" formulation.
 
-  1. test the whole ray tile against the cluster AABB (branchless slab
-     test on the VPU) and against the tile's current worst best-t;
-  2. only if ANY ray hits, DMA the cluster's 128-triangle SoA block from
-     HBM into VMEM and run the dense pairwise Moeller-Trumbore update.
+Geometry is grouped into a fixed 3-level hierarchy over the BVH-ordered
+triangle array (spatially coherent by construction):
 
-Divergence exists only at (ray-tile x cluster) granularity — the classic
-"ray stream" formulation (cf. quantized ray-stream tracing literature) —
-so the VPU always runs full-width dense ops, and HBM traffic is limited
-to clusters that actually intersect the tile's frustum-ish bound.
-Replaces per-lane BVH walks, which Mosaic cannot gather efficiently.
+  triangle  -> cluster      = TRI_TILE (128) consecutive triangles, AABB
+  cluster   -> supercluster = SUPER (32) consecutive clusters, AABB
+
+Per 512-ray tile the kernel walks superclusters; only when the whole
+tile's slab test hits a supercluster does it descend to that group's 32
+clusters, and only AABB-hit clusters DMA their 128-triangle SoA block
+from HBM into VMEM for the dense pairwise Moeller-Trumbore update. A
+miss at the supercluster level skips 4096 triangles with six scalar
+loads + one [512,1] VPU slab test, so traversal cost is
+~K/SUPER + hit_superclusters*SUPER + hit_clusters*(DMA + dense MT)
+instead of the flat kernel's K — the hierarchical level the round-2
+linear scan lacked.
 
 Layouts match pallas_intersect.py: rays [N, 8]; tris [16, Tpad];
-clusters [K, 8] (lo.xyz, hi.xyz, pad, pad); out [N, 4] = t, u, v, prim.
+clusters [Kpad, 8] and superclusters [S, 8] (lo.xyz, hi.xyz, pad, pad);
+out [N, 4] = t, u, v, prim.
 """
 
 from __future__ import annotations
@@ -35,9 +44,18 @@ from .pallas_intersect import RAY_TILE, TRI_TILE, _pairwise_mt
 
 _BIG = np.float32(T_MAX)
 
+# Clusters per supercluster. 32 * TRI_TILE = 4096 triangles skipped per
+# supercluster miss; K/32 outer steps keeps the serial walk short even at
+# millions of triangles (1M tris -> 7813 clusters -> 245 outer steps).
+SUPER = 32
+
 
 def build_clusters(tri_v0, tri_e1, tri_e2):
-    """Host-side: [K, 8] cluster AABBs over TRI_TILE-sized triangle runs."""
+    """Host-side: [Kpad, 8] cluster AABBs over TRI_TILE-sized triangle runs.
+
+    Kpad is rounded up to a SUPER multiple (padded rows are never visited:
+    the kernel guards cluster indices against the real count).
+    """
     v0 = np.asarray(tri_v0, np.float64)
     p1 = v0 + np.asarray(tri_e1, np.float64)
     p2 = v0 + np.asarray(tri_e2, np.float64)
@@ -53,15 +71,33 @@ def build_clusters(tri_v0, tri_e1, tri_e2):
     lo = padded(tri_lo, np.inf).reshape(k, TRI_TILE, 3).min(axis=1)
     hi = padded(tri_hi, -np.inf).reshape(k, TRI_TILE, 3).max(axis=1)
     eps = 1e-5 * np.maximum(1.0, np.abs(lo) + np.abs(hi))
-    out = np.zeros((k, 8), np.float32)
-    out[:, :3] = lo - eps
-    out[:, 3:6] = hi + eps
+    kpad = ((k + SUPER - 1) // SUPER) * SUPER
+    out = np.zeros((kpad, 8), np.float32)
+    out[:k, :3] = lo - eps
+    out[:k, 3:6] = hi + eps
     return out
 
 
-def _cluster_kernel(rays_ref, clusters_ref, tris_hbm, out_ref,
-                    tri_vmem, sem, *, n_clusters, any_hit):
-    """Grid: (n_ray_tiles,). tris_hbm stays in HBM; clusters + rays in VMEM."""
+def build_superclusters(clusters, n_tris):
+    """Host-side: [S, 8] supercluster AABBs over SUPER-sized cluster runs."""
+    cl = np.asarray(clusters, np.float64)
+    k = (n_tris + TRI_TILE - 1) // TRI_TILE  # real cluster count
+    s = (k + SUPER - 1) // SUPER
+    lo = np.full((s * SUPER, 3), np.inf)
+    hi = np.full((s * SUPER, 3), -np.inf)
+    lo[:k] = cl[:k, 0:3]
+    hi[:k] = cl[:k, 3:6]
+    out = np.zeros((s, 8), np.float32)
+    out[:, :3] = lo.reshape(s, SUPER, 3).min(axis=1)
+    out[:, 3:6] = hi.reshape(s, SUPER, 3).max(axis=1)
+    return out
+
+
+def _cluster_kernel(rays_ref, supers_ref, clusters_ref, tris_hbm, out_ref,
+                    tri_vmem, sem, *, n_clusters, n_supers, any_hit):
+    """Grid: (n_ray_tiles,). tris_hbm stays in HBM; AABB levels + rays in
+    VMEM. Per supercluster: slab-test the whole ray tile, descend only on a
+    hit; per cluster: slab-test again, DMA + dense MT only on a hit."""
     rays = rays_ref[:]  # [R, 8]
     ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
     dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
@@ -71,6 +107,27 @@ def _cluster_kernel(rays_ref, clusters_ref, tris_hbm, out_ref,
         return 1.0 / jnp.where(jnp.abs(c) < 1e-12, jnp.where(c < 0, -1e-12, 1e-12), c)
 
     ix, iy, iz = inv(dx), inv(dy), inv(dz)
+
+    def slab_hit(box_ref, i, best_t):
+        """[R,1] bool: does any of the tile's rays hit box i (t in
+        [tmin, best_t))? Six scalar VMEM reads + branchless VPU slabs."""
+        lo_x, lo_y, lo_z = box_ref[i, 0], box_ref[i, 1], box_ref[i, 2]
+        hi_x, hi_y, hi_z = box_ref[i, 3], box_ref[i, 4], box_ref[i, 5]
+        t0x = (lo_x - ox) * ix
+        t1x = (hi_x - ox) * ix
+        t0y = (lo_y - oy) * iy
+        t1y = (hi_y - oy) * iy
+        t0z = (lo_z - oz) * iz
+        t1z = (hi_z - oz) * iz
+        near = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+        )
+        far = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.minimum(jnp.maximum(t0z, t1z), best_t),
+        )
+        return near <= far
 
     # best-t starts at per-ray t_max (rays col 7) so closest-hit honors
     # bounded queries (same contract as pallas_intersect._closest_kernel).
@@ -86,34 +143,20 @@ def _cluster_kernel(rays_ref, clusters_ref, tris_hbm, out_ref,
         init = jnp.zeros((RAY_TILE, 4), jnp.float32)
     out_ref[:] = init
 
-    def body(k, _):
-        state = out_ref[:]
-        best_t = state[:, 0:1] if not any_hit else rays[:, 7:8]
-        # slab test rays vs cluster k (scalar reads from VMEM row k)
-        lo_x = clusters_ref[k, 0]
-        lo_y = clusters_ref[k, 1]
-        lo_z = clusters_ref[k, 2]
-        hi_x = clusters_ref[k, 3]
-        hi_y = clusters_ref[k, 4]
-        hi_z = clusters_ref[k, 5]
-        t0x = (lo_x - ox) * ix
-        t1x = (hi_x - ox) * ix
-        t0y = (lo_y - oy) * iy
-        t1y = (hi_y - oy) * iy
-        t0z = (lo_z - oz) * iz
-        t1z = (hi_z - oz) * iz
-        near = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.maximum(jnp.minimum(t0z, t1z), tmin),
-        )
-        far = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.minimum(jnp.maximum(t0z, t1z), best_t),
-        )
-        box_hit = near <= far  # [R, 1]
-        cond = jnp.any(box_hit)
+    def tile_best_t(state):
+        return state[:, 0:1] if not any_hit else rays[:, 7:8]
+
+    def not_done(state):
         if any_hit:
-            cond = cond & jnp.logical_not(jnp.all(state[:, 0] > 0.0))
+            return jnp.logical_not(jnp.all(state[:, 0] > 0.0))
+        return True
+
+    def cluster_body(j, base):
+        k = base + j
+        state = out_ref[:]
+        best_t = tile_best_t(state)
+        box_hit = slab_hit(clusters_ref, k, best_t)
+        cond = jnp.any(box_hit) & (k < n_clusters) & not_done(state)
 
         @pl.when(cond)
         def _():
@@ -154,23 +197,36 @@ def _cluster_kernel(rays_ref, clusters_ref, tris_hbm, out_ref,
                     axis=1,
                 )
 
+        return base
+
+    def super_body(s, _):
+        state = out_ref[:]
+        box_hit = slab_hit(supers_ref, s, tile_best_t(state))
+        cond = jnp.any(box_hit) & not_done(state)
+
+        @pl.when(cond)
+        def _():
+            jax.lax.fori_loop(0, SUPER, cluster_body, s * SUPER)
+
         return ()
 
-    jax.lax.fori_loop(0, n_clusters, body, ())
+    jax.lax.fori_loop(0, n_supers, super_body, ())
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
-def run_clustered(rays, tris, clusters, any_hit, interpret=False):
+def run_clustered(rays, tris, clusters, supers, any_hit, interpret=False):
     n_ray_tiles = rays.shape[0] // RAY_TILE
-    n_clusters = clusters.shape[0]
+    n_clusters = (tris.shape[1] + TRI_TILE - 1) // TRI_TILE
     kernel = functools.partial(
-        _cluster_kernel, n_clusters=n_clusters, any_hit=any_hit
+        _cluster_kernel, n_clusters=n_clusters, n_supers=supers.shape[0],
+        any_hit=any_hit,
     )
     return pl.pallas_call(
         kernel,
         grid=(n_ray_tiles,),
         in_specs=[
             pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # superclusters
             pl.BlockSpec(memory_space=pltpu.VMEM),   # clusters, whole array
             pl.BlockSpec(memory_space=pl.ANY),       # tris stay in HBM
         ],
@@ -183,4 +239,4 @@ def run_clustered(rays, tris, clusters, any_hit, interpret=False):
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(rays, clusters, tris)
+    )(rays, supers, clusters, tris)

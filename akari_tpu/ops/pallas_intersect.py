@@ -201,20 +201,59 @@ def _run(rays, tris, any_hit, interpret=False):
 DENSE_MAX_TRIS = 4096
 
 
+def _sort_keys(o, d, lo, hi):
+    """Coherence sort key per ray: direction octant (major) + 6-bit/axis
+    Morton code of the origin (minor).
+
+    The cluster-skip kernel culls at (ray tile x AABB) granularity, so its
+    cost is driven by how many AABBs *any* ray of a tile enters. Wavefront
+    ray batches interleave pixels/samples/bounces, so consecutive rays are
+    incoherent by construction; grouping by direction octant + origin cell
+    restores the locality the tile test needs (the classic ray-stream
+    reordering, cf. CPU SIMD ray-stream tracers)."""
+    ext = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip((o - lo) / ext, 0.0, 1.0)
+    q = (q * 63.0).astype(jnp.uint32)  # [N,3] 6 bits per axis
+    m = jnp.zeros(o.shape[:1], jnp.uint32)
+    for b in range(6):
+        for a in range(3):
+            m = m | (((q[:, a] >> b) & 1) << (3 * b + a))
+    octant = (
+        (d[:, 0] < 0).astype(jnp.uint32)
+        | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
+        | ((d[:, 2] < 0).astype(jnp.uint32) << 2)
+    )
+    return (octant << 18) | m
+
+
 def intersect_pallas(scene, o, d, t_min, t_max, any_hit=False):
     """Entry used by ops.intersect dispatch (scene.intersector == 'pallas')."""
     tris = pack_tris(scene.tri_v0, scene.tri_e1, scene.tri_e2)
-    rays, n, pad = _pack_rays(o, d, t_min, t_max)
-    if scene.tri_v0.shape[0] > DENSE_MAX_TRIS and scene.tri_clusters is not None:
+    if (
+        scene.tri_v0.shape[0] > DENSE_MAX_TRIS
+        and scene.tri_clusters is not None
+        and scene.tri_superclusters is not None
+    ):
         from .pallas_cluster import run_clustered
 
-        out = run_clustered(
-            rays, tris, jnp.asarray(scene.tri_clusters), any_hit,
+        supers = jnp.asarray(scene.tri_superclusters)
+        # coherence sort so each 512-ray tile spans few cluster AABBs
+        lo = jnp.min(supers[:, 0:3], axis=0)
+        hi = jnp.max(supers[:, 3:6], axis=0)
+        order = jnp.argsort(_sort_keys(o, d, lo, hi))
+        rays, n, pad = _pack_rays(
+            jnp.take(o, order, axis=0), jnp.take(d, order, axis=0),
+            jnp.take(t_min, order), jnp.take(t_max, order),
+        )
+        out_sorted = run_clustered(
+            rays, tris, jnp.asarray(scene.tri_clusters), supers, any_hit,
             interpret=INTERPRET,
         )
+        out = jnp.zeros((n, 4), jnp.float32).at[order].set(out_sorted[:n])
     else:
+        rays, n, pad = _pack_rays(o, d, t_min, t_max)
         out = _run(rays, tris, any_hit, interpret=INTERPRET)
-    out = out[:n]
+        out = out[:n]
     if any_hit:
         return out[:, 0] > 0.5
     t = out[:, 0]

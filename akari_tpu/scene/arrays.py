@@ -180,8 +180,11 @@ class SceneArrays:
     textures: TextureTable
     lights: LightTable
     bvh: BVHArrays
-    # [K, 8] AABBs over 128-triangle BVH-ordered runs (ops/pallas_cluster.py)
+    # [Kpad, 8] AABBs over 128-triangle BVH-ordered runs and [S, 8] AABBs
+    # over 32-cluster runs — the Pallas ray-stream hierarchy
+    # (ops/pallas_cluster.py).
     tri_clusters: jax.Array = None
+    tri_superclusters: jax.Array = None
     # [T, 32] fat per-triangle shading-attribute table (flat scenes): one
     # aligned gather (one-hot MXU matmul for small T, ops/gather.py) replaces
     # ~10 narrow gathers per bounce. Columns: v0(0:3) e1(3:6) e2(6:9)

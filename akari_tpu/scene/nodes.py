@@ -12,6 +12,7 @@ table with a power CDF (ref: nodes/scene.cpp:55-92).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -60,12 +61,13 @@ class ConstantTexture:
 class ImageTexture:
     image: np.ndarray  # [H, W, 3] linear float32
     multiplier: tuple = (1.0, 1.0, 1.0)
+    path: Optional[str] = None  # source file, for .akari round-trips
 
     @staticmethod
     def load(path):
         from ..core.image import read_image
 
-        return ImageTexture(read_image(path))
+        return ImageTexture(read_image(path), path=os.path.abspath(path))
 
 
 # --------------------------------------------------------------------------
@@ -333,15 +335,58 @@ def _texture_mean(texs, tex_idx):
     return float(luminance(mean_rgb.astype(np.float32)))
 
 
+# Instanced scenes whose flattened (world-space) triangle total stays under
+# this are expanded at compile so the Pallas ray-stream hierarchy applies
+# to them too — trading the BLAS geometry sharing for the fast path (the
+# TLAS/BLAS compile remains for "bvh" and for very large scenes).
+FLATTEN_MAX_TRIS = 4_000_000
+
+
+def _flatten_instances(shapes):
+    """Expand Instances into transformed Mesh copies (world space).
+
+    Material objects are shared (not copied), so the texture/material
+    tables dedupe across instances exactly as in the two-level compile.
+    """
+    import dataclasses as _dc
+
+    out = []
+    for s in shapes:
+        if not isinstance(s, Instance):
+            out.append(s)
+            continue
+        m = s.mesh
+        base = np.eye(4) if m.transform is None else np.asarray(m.transform, np.float64)
+        combined = np.asarray(s.transform, np.float64) @ base
+        out.append(
+            _dc.replace(
+                m,
+                transform=combined.astype(np.float32),
+                materials=list(s.materials) if s.materials is not None
+                else m.materials,
+            )
+        )
+    return out
+
+
 def compile_scene(shapes, intersector="bvh"):
     """Merge meshes, build materials/lights/BVH -> SceneArrays (numpy leaves).
 
     Call ``jax.device_put`` (or just use under jit) to move to TPU.
-    Shapes may mix ``Mesh`` and ``Instance``; any ``Instance`` switches to
-    the two-level (TLAS/BLAS) compile (`_compile_instanced`).
+    Shapes may mix ``Mesh`` and ``Instance``. Instanced scenes compile
+    two-level (TLAS/BLAS, `_compile_instanced`) when the intersector is
+    "bvh" or the flattened size exceeds FLATTEN_MAX_TRIS; otherwise
+    instances are flattened to world space so the Pallas hierarchy (and
+    the fat prim_table gather) serve them too.
     """
     if any(isinstance(s, Instance) for s in shapes):
-        return _compile_instanced(shapes)
+        total = sum(
+            len(np.asarray(s.mesh.indices if isinstance(s, Instance) else s.indices))
+            for s in shapes
+        )
+        if intersector == "bvh" or total > FLATTEN_MAX_TRIS:
+            return _compile_instanced(shapes)
+        shapes = _flatten_instances(shapes)
     all_p, all_n, all_uv, all_mid = [], [], [], []
     global_materials = []
     for mesh in shapes:
@@ -380,10 +425,12 @@ def compile_scene(shapes, intersector="bvh"):
     p, n, uv, face_mat = p[order], n[order], uv[order], face_mat[order]
 
     if intersector == "auto":
-        # dense Pallas ray-stream for small scenes, cluster-skip Pallas for
-        # mid scenes (both under the 'pallas' dispatch), XLA threaded-BVH
-        # traversal for very large ones (cluster-list scans go linear in T)
-        intersector = "pallas" if p.shape[0] <= 200_000 else "bvh"
+        # dense Pallas ray-stream for small scenes, hierarchical
+        # supercluster-skip Pallas for large ones (both under the 'pallas'
+        # dispatch). The XLA threaded-BVH traversal stays available as the
+        # A/B oracle and for scenes past the cluster tables' VMEM budget
+        # (~1 MB of cluster AABBs per 4M tris).
+        intersector = "pallas" if p.shape[0] <= 4_000_000 else "bvh"
 
     v0 = p[:, 0]
     e1 = p[:, 1] - p[:, 0]
@@ -422,9 +469,10 @@ def compile_scene(shapes, intersector="bvh"):
             n_lights=0,
         )
 
-    from ..ops.pallas_cluster import build_clusters
+    from ..ops.pallas_cluster import build_clusters, build_superclusters
 
     clusters = build_clusters(v0, e1, e2)
+    superclusters = build_superclusters(clusters, v0.shape[0])
 
     # Fat shading table: all per-hit attributes behind ONE aligned gather
     # (see arrays.SceneArrays.prim_table for the column layout).
@@ -448,6 +496,7 @@ def compile_scene(shapes, intersector="bvh"):
         tri_e1=e1.astype(np.float32),
         tri_e2=e2.astype(np.float32),
         tri_clusters=clusters,
+        tri_superclusters=superclusters,
         prim_table=prim_table,
         normals=n.astype(np.float32),
         uvs=uv.astype(np.float32),

@@ -187,6 +187,46 @@ def test_instanced_render_matches_flat(pair):
     assert rel < 0.1
 
 
+def test_instanced_pallas_flatten_matches_bvh(pair):
+    """Instanced scenes on the Pallas path: compile flattens instances to
+    world space (scene/nodes.py FLATTEN_MAX_TRIS) so the ray-stream kernels
+    serve them; hits and renders must agree with the two-level TLAS/BLAS
+    traversal of the same world geometry."""
+    import jax.numpy as jnp
+
+    import akari_tpu.ops.pallas_intersect as pi
+    from akari_tpu.integrators.path import PathConfig, render
+    from akari_tpu.ops.intersect import intersect
+
+    sc_i, _ = pair
+    instanced, _ = _scene_pair()
+    sc_p = compile_scene(instanced, intersector="pallas")
+    assert sc_p.instances is None          # flattened
+    assert sc_p.intersector == "pallas"
+    assert sc_i.instances is not None      # bvh path untouched
+
+    o, d = _rays(300, seed=4)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    old = pi.INTERPRET
+    pi.INTERPRET = True
+    try:
+        hp = intersect(sc_p, o, d)
+        cam = make_camera(xform.translate((0.0, 2.0, 8.0)), 30.0, 16, 16)
+        cfg = PathConfig(spp=16, max_depth=3, ray_clamp=40.0)
+        img_p = np.asarray(render(sc_p, cam, cfg, seed=0))
+    finally:
+        pi.INTERPRET = old
+    hi = intersect(sc_i, o, d)
+    np.testing.assert_array_equal(np.asarray(hp.valid), np.asarray(hi.valid))
+    ok = np.asarray(hi.valid)
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[ok], np.asarray(hi.t)[ok], rtol=1e-4, atol=1e-4
+    )
+    img_i = np.asarray(render(sc_i, cam, cfg, seed=0))
+    rel = np.abs(img_p - img_i).mean() / max(float(img_i.mean()), 1e-6)
+    assert rel < 0.1, rel
+
+
 def test_instanced_emissive_lights_scale():
     """Two instances of an emissive quad emit ~2x the light of one, and a
     scaled instance's power follows its world area (power CDF built from

@@ -1,10 +1,10 @@
 """Core math tests (mirrors ref tests/test-math.cpp: srgb range, frame
-round-trip — extended with transforms and AABB)."""
+round-trip — extended with transforms)."""
 
 import numpy as np
 import jax.numpy as jnp
 
-from akari_tpu.core import aabb, spectrum, transform as xf, vecmath as vm
+from akari_tpu.core import spectrum, transform as xf, vecmath as vm
 
 
 def test_srgb_range_and_roundtrip():
@@ -51,16 +51,6 @@ def test_normal_transform_preserves_orthogonality():
     nt = xf.apply_normal(m, n)
     tt = xf.apply_vector(m, t)
     np.testing.assert_allclose(vm.dot(nt, tt), 0.0, atol=1e-6)
-
-
-def test_aabb_slab():
-    lo = np.asarray([[0.0, 0.0, 0.0]], np.float32)
-    hi = np.asarray([[1.0, 1.0, 1.0]], np.float32)
-    o = np.asarray([[0.5, 0.5, -1.0]], np.float32)
-    inv_d = 1.0 / np.asarray([[0.0 + 1e-12, 1e-12, 1.0]], np.float32)
-    assert aabb.ray_slab(lo, hi, o, inv_d, 0.0, 1e30)[0]
-    o2 = np.asarray([[2.5, 0.5, -1.0]], np.float32)
-    assert not aabb.ray_slab(lo, hi, o2, inv_d, 0.0, 1e30)[0]
 
 
 def test_vecmath_jax_numpy_agree():

@@ -92,6 +92,41 @@ def test_pallas_ray_padding():
     assert h.t.shape == (77,)
 
 
+def test_cluster_hierarchy_matches_bvh():
+    """The hierarchical supercluster-skip kernel (scenes > DENSE_MAX_TRIS)
+    must agree with the XLA threaded-BVH backend on a ~8k-tri mesh that
+    spans two superclusters (exercises descent, the cluster-index guard,
+    and best-t pruning)."""
+    from akari_tpu.ops.pallas_intersect import DENSE_MAX_TRIS
+    from akari_tpu.scene.builtin import terrain_scene
+
+    sc = terrain_scene(16, 16, n=64)
+    scene_p = sc.compile(intersector="pallas")
+    assert scene_p.n_tris > DENSE_MAX_TRIS  # really the cluster path
+    assert scene_p.tri_superclusters.shape[0] >= 2
+    scene_b = sc.compile(intersector="bvh")
+    r = np.random.default_rng(11)
+    o = np.asarray([0.0, 1.5, 1.5], np.float32) + r.normal(
+        scale=0.3, size=(160, 3)
+    ).astype(np.float32)
+    d = r.normal(size=(160, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    hp = intersect(scene_p, o, d)
+    hb = intersect(scene_b, o, d)
+    np.testing.assert_array_equal(np.asarray(hp.valid), np.asarray(hb.valid))
+    ok = np.asarray(hb.valid)
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[ok], np.asarray(hb.t)[ok], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        _orig_prim(scene_p, hp)[ok], _orig_prim(scene_b, hb)[ok]
+    )
+    # occlusion agrees too
+    op = occlude(scene_p, o, d, 0.0, 1e30)
+    np.testing.assert_array_equal(np.asarray(op), np.asarray(hb.valid))
+
+
 def test_native_bvh_builder_matches_python():
     from akari_tpu.bvh.build import MAX_LEAF, build_bvh
     from akari_tpu.native.loader import native_available
@@ -162,8 +197,13 @@ def test_cluster_kernel_matches_brute():
     mesh = Mesh(vertices=verts, indices=idx)
     scene_p = compile_scene([mesh], intersector="pallas")
     scene_b = compile_scene([mesh], intersector="brute")
-    # storage count may exceed n_tri (SBVH duplication)
-    assert scene_p.tri_clusters.shape[0] == (scene_p.n_tris + 127) // 128
+    # storage count may exceed n_tri (SBVH duplication); the cluster table
+    # is padded to a SUPER multiple (padded rows are index-guarded)
+    from akari_tpu.ops.pallas_cluster import SUPER
+
+    k = (scene_p.n_tris + 127) // 128
+    assert scene_p.tri_clusters.shape[0] == ((k + SUPER - 1) // SUPER) * SUPER
+    assert scene_p.tri_superclusters.shape[0] == (k + SUPER - 1) // SUPER
 
     rr = np.random.default_rng(2)
     nr = 256
