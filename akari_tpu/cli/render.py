@@ -82,6 +82,13 @@ def main(argv=None):
 
     cfg = scene_node.integrator or PathConfig()
     t0 = time.perf_counter()
+    if args.spectrum_dtype != "float32" and (
+        args.ao or isinstance(cfg, (AOConfig, BDPTConfig))
+    ):
+        log.warning(
+            f"--spectrum-dtype {args.spectrum_dtype} only applies to the "
+            "path integrator; the AO/BDPT integrators run float32"
+        )
     if args.ao or isinstance(cfg, AOConfig):
         if not isinstance(cfg, AOConfig):
             cfg = AOConfig(spp=args.spp or 16)

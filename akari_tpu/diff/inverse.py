@@ -49,6 +49,15 @@ def scene_params(scene, optimize_images=False, optimize_geometry=False):
     if optimize_images:
         params["tex_images"] = scene.textures.images
     if optimize_geometry:
+        if scene.instances is not None:
+            # On a two-level scene tri_v0 is shared BLAS *object* space:
+            # one delta would move every instance at once, silently
+            # different semantics from the documented world-space move.
+            raise ValueError(
+                "optimize_geometry=True requires a flat (non-instanced) "
+                "scene; recompile with flattened instances "
+                "(intersector='pallas' under FLATTEN_MAX_TRIS)"
+            )
         params["tri_delta"] = jnp.zeros_like(jnp.asarray(scene.tri_v0))
     return params
 

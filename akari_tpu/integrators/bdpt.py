@@ -48,6 +48,11 @@ OFF_L_POS = 0      # light point (2) + light select (1)
 OFF_L_DIR = 3      # emission direction (2)
 OFF_L_BSDF = 5     # per-bounce bsdf u (2)
 
+# Cap on rays per fused connection-visibility launch (see trace_bdpt):
+# bounds the shadow wavefront's transient HBM while still fusing ~16
+# connection strategies per launch at 256^2.
+BDPT_OCC_CHUNK_RAYS = 1 << 20
+
 
 @dataclass(frozen=True)
 class BDPTConfig:
@@ -684,14 +689,30 @@ def trace_bdpt(scene, camera, cfg, seed, sample_idx, pixel_idx,
                 ("conn", contrib, ok, w),
             ))
 
-    # ---- one batched occlusion launch for every queued connection ----
+    # ---- batched occlusion launches for the queued connections ----
+    # Queue entries are flushed in groups of at most BDPT_OCC_CHUNK_RAYS
+    # rays: large fused launches keep the TPU fed, the cap bounds the
+    # transient shadow-wavefront HBM at high resolution/depth (the full
+    # queue is ~eye_depth*light_depth*n rays — depth^2 x a plain launch).
     if shadow_q:
-        o_all = xp.concatenate([q[0] for q in shadow_q], axis=0)
-        d_all = xp.concatenate([q[1] for q in shadow_q], axis=0)
-        t_all = xp.concatenate([q[2] for q in shadow_q], axis=0)
-        occ_all = occlude_fn(
-            o_all, d_all, xp.zeros((o_all.shape[0],), xp.float32), t_all
-        )
+        group, groups, group_rays = [], [], 0
+        per_entry = n
+        for q in shadow_q:
+            if group and group_rays + per_entry > BDPT_OCC_CHUNK_RAYS:
+                groups.append(group)
+                group, group_rays = [], 0
+            group.append(q)
+            group_rays += per_entry
+        groups.append(group)
+        occ_parts = []
+        for g in groups:
+            o_all = xp.concatenate([q[0] for q in g], axis=0)
+            d_all = xp.concatenate([q[1] for q in g], axis=0)
+            t_all = xp.concatenate([q[2] for q in g], axis=0)
+            occ_parts.append(occlude_fn(
+                o_all, d_all, xp.zeros((o_all.shape[0],), xp.float32), t_all
+            ))
+        occ_all = xp.concatenate(occ_parts, axis=0)
         for i, (_, _, _, payload) in enumerate(shadow_q):
             occluded = occ_all[i * n:(i + 1) * n]
             if payload[0] == "splat":

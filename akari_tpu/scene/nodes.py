@@ -341,6 +341,28 @@ def _texture_mean(texs, tex_idx):
 # TLAS/BLAS compile remains for "bvh" and for very large scenes).
 FLATTEN_MAX_TRIS = 4_000_000
 
+# Above this flat-triangle count the supercluster tables outgrow their
+# VMEM budget (32 B/cluster + 32 B/supercluster ≈ 4.3 MB at 16M tris) and
+# `auto` falls back to the XLA threaded-BVH traversal.
+PALLAS_MAX_TRIS = 16_000_000
+
+
+def _auto_intersector(n_tris):
+    """Resolve intersector="auto" for the *current JAX backend*.
+
+    Compiled Pallas kernels only run on TPU (here: platform "tpu" or the
+    "axon" remote-TPU plugin); on the CPU backend the stock CLI render
+    must work out of the box, and the XLA while-loop BVH does — so `auto`
+    consults jax.default_backend() instead of picking purely by triangle
+    count (ref keeps Embree-vs-BVH selection behind one interface the
+    same way: nodes/scene.cpp:127-134).
+    """
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return "bvh"
+    return "pallas" if n_tris <= PALLAS_MAX_TRIS else "bvh"
+
 
 def _flatten_instances(shapes):
     """Expand Instances into transformed Mesh copies (world space).
@@ -425,12 +447,7 @@ def compile_scene(shapes, intersector="bvh"):
     p, n, uv, face_mat = p[order], n[order], uv[order], face_mat[order]
 
     if intersector == "auto":
-        # dense Pallas ray-stream for small scenes, hierarchical
-        # supercluster-skip Pallas for large ones (both under the 'pallas'
-        # dispatch). The XLA threaded-BVH traversal stays available as the
-        # A/B oracle and for scenes past the cluster tables' VMEM budget
-        # (~1 MB of cluster AABBs per 4M tris).
-        intersector = "pallas" if p.shape[0] <= 4_000_000 else "bvh"
+        intersector = _auto_intersector(p.shape[0])
 
     v0 = p[:, 0]
     e1 = p[:, 1] - p[:, 0]

@@ -71,6 +71,7 @@ def test_albedo_and_emission_finite_difference(setup):
     assert checked >= 3  # must have verified some nonzero gradients
 
 
+@pytest.mark.slow
 def test_inverse_rendering_recovers_albedo():
     """Corrupt the wall albedos, re-fit on the rendered target via the
     sharded Adam loop (BASELINE config 4, abbreviated for CI; the full
@@ -124,6 +125,7 @@ def test_inverse_rendering_recovers_albedo():
     assert err_rec < err_bad, (err_bad, err_rec)
 
 
+@pytest.mark.slow
 def test_geometry_gradient_finite_difference():
     """Vertex-position gradients (VERDICT r2 item 4; the reference's
     autodiff.h is an empty stub): translate the light quad vertically and

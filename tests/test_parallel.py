@@ -27,6 +27,7 @@ def test_eight_devices_available():
     assert jax.device_count() >= 8
 
 
+@pytest.mark.slow
 def test_sharded_render_matches_single(setup):
     scene, cam, cfg = setup
     mesh = make_ray_mesh()
@@ -35,6 +36,7 @@ def test_sharded_render_matches_single(setup):
     np.testing.assert_allclose(img_sharded, img_single, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_grads_match_single_device(setup):
     """North-star claim: gradients through the 8-way ray-sharded loss (grad
     all-reduce via the shard_map transpose) equal the plain single-device
@@ -66,6 +68,7 @@ def test_sharded_grads_match_single_device(setup):
     assert float(jnp.abs(g8["tex_value"]).sum()) > 0.0
 
 
+@pytest.mark.slow
 def test_sharded_bdpt_and_ao(setup):
     """BDPT and AO also render through the sharded path."""
     from akari_tpu.integrators.ao import AOConfig, render_ao
@@ -84,6 +87,7 @@ def test_sharded_bdpt_and_ao(setup):
     np.testing.assert_allclose(img_s, img_1, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_loss_and_grads_smoke(setup):
     """Ungated smoke of loss_and_image_sharded + grads (the bench/entry
     path): loss finite, image matches plain render, texture grads nonzero."""

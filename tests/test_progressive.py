@@ -1,6 +1,7 @@
 """Progressive rendering + checkpoint/resume tests."""
 
 import numpy as np
+import pytest
 
 from akari_tpu.integrators.path import PathConfig
 from akari_tpu.integrators.progressive import render_progressive
@@ -8,6 +9,7 @@ from akari_tpu.scene.builtin import cornell_box
 from akari_tpu.utils.checkpoint import load_render_state, save_render_state
 
 
+@pytest.mark.slow
 def test_progressive_matches_full(tmp_path):
     sc = cornell_box(8, 8)
     scene = sc.compile(intersector="bvh")
@@ -22,6 +24,7 @@ def test_progressive_matches_full(tmp_path):
     assert float(np.mean(img_once)) > 0.01
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(tmp_path):
     sc = cornell_box(8, 8)
     scene = sc.compile(intersector="bvh")
