@@ -44,3 +44,32 @@ def pdf_discrete(cdf, idx):
     xp = _xp(idx)
     cdf = xp.asarray(cdf)
     return xp.take(cdf, idx + 1) - xp.take(cdf, idx)
+
+
+def sample_continuous(cdf, u):
+    """Device-side piecewise-constant continuous sampling over [0, 1).
+
+    u in [0,1) -> (x, pdf, index): x in [0,1) linearly interpolated inside
+    the selected bin, pdf the continuous density (pmf * n), index the bin
+    (ref: distribution.h:47-83 sample_continuous; searchsorted replaces
+    the reference's upper_bound binary search).
+    """
+    xp = _xp(u)
+    cdf = xp.asarray(cdf)
+    n = cdf.shape[0] - 1
+    idx = xp.clip(xp.searchsorted(cdf, u, side="right") - 1, 0, n - 1)
+    c0 = xp.take(cdf, idx)
+    pmf = xp.take(cdf, idx + 1) - c0
+    du = xp.where(pmf > 0.0, (u - c0) / xp.where(pmf > 0.0, pmf, 1.0), 0.0)
+    x = (idx.astype(cdf.dtype) + du) / n
+    return x, pmf * n, idx.astype(xp.int32)
+
+
+def pdf_continuous(cdf, x):
+    """Continuous density at x in [0,1): pmf[floor(x*n)] * n
+    (ref: distribution.h:120-134)."""
+    xp = _xp(x)
+    cdf = xp.asarray(cdf)
+    n = cdf.shape[0] - 1
+    idx = xp.clip((x * n).astype(xp.int32), 0, n - 1)
+    return (xp.take(cdf, idx + 1) - xp.take(cdf, idx)) * n
