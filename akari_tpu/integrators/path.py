@@ -7,11 +7,18 @@ integrator.cpp:106-424) — expressed the TPU-native way (SURVEY.md §2.7):
 
 * The wavefront decomposition (SoA PathState + per-depth kernel sweeps
   with atomic-append work queues) is *the natural JAX formulation*: a
-  ``PathState`` pytree of [N]-shaped arrays stepped through a fixed
-  per-bounce sweep with an ``active`` mask. No atomics — inactive lanes
-  are masked; XLA fuses the whole bounce into large fused kernels.
+  ``PathState`` pytree stepped through a fixed per-bounce sweep with an
+  ``active`` mask. No atomics — inactive lanes are masked; XLA fuses the
+  whole bounce into large fused kernels.
+* Round-4 layout redesign: every per-ray quantity in the bounce loop is a
+  1-D ``[N]`` array and every 3-vector/RGB a ``V3`` of components
+  (core/v3.py). XLA:TPU pads a ``f32[N,3]`` temp's minor dim to the
+  128-lane tile (42.7x HBM expansion; ``[N,1]`` hits 128x) — the previous
+  AoS loop spent most of its time in padded copies and per-op overhead.
+  The SoA loop is the wavefront equivalent of the reference's soac-
+  generated SoA work items (ref: common/soa.h:47-104, tools/soac.cpp).
 * The reference's per-material-type queues (one queue per Material variant)
-  become masked evaluation of the (two) BSDF closures — see shading/bsdf.py.
+  become masked evaluation of the BSDF closures — see shading/soa.py.
 * Improvement over the reference: full multiple importance sampling
   (power heuristic) between NEE and BSDF sampling; the reference is
   NEE-only with depth-0 emissive (pathtracer.h:102-111). ``mis=False``
@@ -33,10 +40,9 @@ import numpy as np
 
 from .. import sampling
 from ..core import rng
+from ..core.v3 import V3, from_rows, from_stack, v3where
 from ..core.vecmath import _xp, cross, dot, normalize
-from ..shading import bsdf as bsdf_mod
-from ..shading import light as light_mod
-from ..shading import material as mat_mod
+from ..shading import soa
 from ..utils.config import RGB, DtypePolicy
 
 RAY_EPS = 1e-4
@@ -62,109 +68,134 @@ class PathConfig:
     # True unrolls the bounce loop in the traced program (lets XLA
     # specialize per bounce, ~max_depth x the compile time); False scans.
     unroll: bool = False
+    # True wraps each scan bounce in jax.checkpoint: backward recomputes
+    # the bounce instead of saving its residuals (less HBM, more FLOPs).
+    remat: bool = False
 
 
-def _pixel_centers(width, height, pixel_idx, jitter, xp):
-    """Flat pixel index + [N,2] jitter -> film plane NDC -> camera dir.
+def camera_rays_soa(camera, seed, sample_idx, pixel_idx, xp):
+    """Generate primary rays for flat pixel indices [N] -> (V3 o, V3 d).
 
     Raster-to-camera chain redesigned from ref kernel/camera.h:45-61 with
     the standard tan(fov/2) image-plane scale; camera looks down -Z.
     """
-    x = (pixel_idx % width).astype(xp.float32) + jitter[..., 0]
-    y = (pixel_idx // width).astype(xp.float32) + jitter[..., 1]
-    ndc_x = 2.0 * (x / width) - 1.0
-    ndc_y = 1.0 - 2.0 * (y / height)  # flip v (ref camera.h scale(1,-1,1))
-    return ndc_x, ndc_y
-
-
-def camera_rays(camera, seed, sample_idx, pixel_idx, xp):
-    """Generate primary rays for flat pixel indices [N]. Returns (o, d)."""
-    jitter = rng.uniform2(seed, pixel_idx, sample_idx, rng.DIM_CAMERA)
+    jx = rng.uniform(seed, pixel_idx, sample_idx, rng.DIM_CAMERA)
+    jy = rng.uniform(seed, pixel_idx, sample_idx, rng.DIM_CAMERA + 1)
     w, h = camera.width, camera.height
-    ndc_x, ndc_y = _pixel_centers(w, h, pixel_idx, jitter, xp)
+    x = (pixel_idx % w).astype(xp.float32) + jx
+    y = (pixel_idx // w).astype(xp.float32) + jy
+    ndc_x = 2.0 * (x / w) - 1.0
+    ndc_y = 1.0 - 2.0 * (y / h)  # flip v (ref camera.h scale(1,-1,1))
     t = camera.tan_half_fov
     if w > h:
         sx, sy = t, t * (h / w)
     else:
         sx, sy = t * (w / h), t
-    d_cam = xp.stack(
-        [ndc_x * sx, ndc_y * sy, -xp.ones_like(ndc_x)], axis=-1
+    d_cam = V3(ndc_x * sx, ndc_y * sy, -xp.ones_like(ndc_x))
+    o_cam = V3(
+        xp.zeros_like(ndc_x), xp.zeros_like(ndc_x), xp.zeros_like(ndc_x)
     )
-    o_cam = xp.zeros_like(d_cam)
 
     lens_r = camera.lens_radius
     # Thin-lens DoF (ref camera.h:68-88). Static (metadata) switch.
     if lens_r > 0.0:
-        u_lens = rng.uniform2(seed, pixel_idx, sample_idx, rng.DIM_LENS)
-        p_lens = sampling.concentric_disk(u_lens) * lens_r
-        ft = camera.focal_distance / xp.abs(d_cam[..., 2] / xp.sqrt(dot(d_cam, d_cam)))
-        p_focus = normalize(d_cam) * ft[..., None]
-        o_cam = xp.stack(
-            [p_lens[..., 0], p_lens[..., 1], xp.zeros_like(p_lens[..., 0])], -1
-        )
+        u1 = rng.uniform(seed, pixel_idx, sample_idx, rng.DIM_LENS)
+        u2 = rng.uniform(seed, pixel_idx, sample_idx, rng.DIM_LENS + 1)
+        px, py = soa.concentric_disk(u1, u2)
+        px, py = px * lens_r, py * lens_r
+        d_len = xp.sqrt(d_cam.dot(d_cam))
+        ft = camera.focal_distance / xp.abs(d_cam.z / d_len)
+        p_focus = d_cam.normalized() * ft
+        o_cam = V3(px, py, xp.zeros_like(px))
         d_cam = p_focus - o_cam
 
     c2w = xp.asarray(camera.c2w)
-    o = o_cam @ c2w[:3, :3].T + c2w[:3, 3]
-    d = normalize(d_cam @ c2w[:3, :3].T)
+    r = [[c2w[i, j] for j in range(3)] for i in range(3)]
+
+    def apply_rot(v):
+        return V3(
+            r[0][0] * v.x + r[0][1] * v.y + r[0][2] * v.z,
+            r[1][0] * v.x + r[1][1] * v.y + r[1][2] * v.z,
+            r[2][0] * v.x + r[2][1] * v.y + r[2][2] * v.z,
+        )
+
+    o = apply_rot(o_cam) + V3(c2w[0, 3], c2w[1, 3], c2w[2, 3])
+    d = apply_rot(d_cam).normalized()
     return o, d
 
 
-def _vertex_data(scene, prim, bary, xp):
-    """Gather ALL hit-surface attributes for [N] prim ids + [N,2] barys.
+def camera_rays(camera, seed, sample_idx, pixel_idx, xp):
+    """AoS wrapper: -> ([N,3] o, [N,3] d) for the BDPT/AO integrators."""
+    o, d = camera_rays_soa(camera, seed, sample_idx, pixel_idx, xp)
+    return o.stack(xp), d.stack(xp)
+
+
+def _vertex_data(scene, prim, bu, bv, xp):
+    """Gather ALL hit-surface attributes for [N] prim ids + [N] barys.
 
     Flat scenes: ONE aligned fat gather from ``scene.prim_table``
-    (one-hot MXU matmul for small scenes, ops/gather.py) — the shading
+    (transposed one-hot MXU matmul -> [32, N], ops/gather.py) — the shading
     path's entire per-hit memory traffic. Instanced scenes decode virtual
     prim ids and transform prototype geometry to world space
     (scene/geom.py) — a static branch.
 
-    Returns a dict: p, ng, ns, uv, mat_id, e1, e2, light_pdf (the hit
-    triangle's NEE selection pmf; 0 for non-lights — powers MIS without a
-    second gather).
+    Returns a dict of V3/[N]: p, ng, ns, uv_u, uv_v, mat_id, e1, e2,
+    light_pdf (the hit triangle's NEE selection pmf; 0 for non-lights —
+    powers MIS without a second gather).
     """
     pid = xp.maximum(prim, 0)
     if scene.prim_table is not None and scene.instances is None:
-        from ..ops.gather import gather_rows
+        from ..ops.gather import gather_rows_t
 
-        fat = gather_rows(scene.prim_table, pid)
-        v0, e1, e2 = fat[..., 0:3], fat[..., 3:6], fat[..., 6:9]
-        n0, n1, n2 = fat[..., 9:12], fat[..., 12:15], fat[..., 15:18]
-        uv0, uv1, uv2 = fat[..., 18:20], fat[..., 20:22], fat[..., 22:24]
-        mat_id = fat[..., 24].astype(xp.int32)
-        light_pdf = fat[..., 25]
+        fat = gather_rows_t(scene.prim_table, pid)
+        v0, e1, e2 = from_rows(fat, 0), from_rows(fat, 3), from_rows(fat, 6)
+        n0, n1, n2 = from_rows(fat, 9), from_rows(fat, 12), from_rows(fat, 15)
+        uv0u, uv0v, uv1u, uv1v, uv2u, uv2v = (
+            fat[18], fat[19], fat[20], fat[21], fat[22], fat[23]
+        )
+        mat_id = fat[24].astype(xp.int32)
+        light_pdf = fat[25]
     else:
         from ..scene import geom
 
-        v0, e1, e2 = geom.tri_world(scene, pid, xp)
+        v0_a, e1_a, e2_a = geom.tri_world(scene, pid, xp)
+        v0, e1, e2 = from_stack(v0_a), from_stack(e1_a), from_stack(e2_a)
         ns_c = geom.normals_world(scene, pid, xp)  # [N,3,3]
-        n0, n1, n2 = ns_c[:, 0], ns_c[:, 1], ns_c[:, 2]
+        n0, n1, n2 = (
+            from_stack(ns_c[:, 0]), from_stack(ns_c[:, 1]), from_stack(ns_c[:, 2])
+        )
         uv_c = geom.uvs_of_prim(scene, pid, xp)  # [N,3,2]
-        uv0, uv1, uv2 = uv_c[:, 0], uv_c[:, 1], uv_c[:, 2]
+        uv0u, uv0v = uv_c[:, 0, 0], uv_c[:, 0, 1]
+        uv1u, uv1v = uv_c[:, 1, 0], uv_c[:, 1, 1]
+        uv2u, uv2v = uv_c[:, 2, 0], uv_c[:, 2, 1]
         mat_id = geom.mat_of_prim(scene, pid, xp)
         li = geom.light_of_prim(scene, pid, xp)
         light_pdf = xp.where(
             li >= 0, xp.take(scene.lights.pdf, xp.maximum(li, 0)), 0.0
         )
-    u = bary[..., 0:1]
-    v = bary[..., 1:2]
-    p = v0 + u * e1 + v * e2
-    ng = normalize(cross(e1, e2), eps=1e-20)
-    w0 = 1.0 - u - v
-    ns = normalize(n0 * w0 + n1 * u + n2 * v, eps=1e-12)
+    p = v0 + e1 * bu + e2 * bv
+    ng = e1.cross(e2).normalized(eps=1e-20)
+    w0 = 1.0 - bu - bv
+    ns = (n0 * w0 + n1 * bu + n2 * bv).normalized(eps=1e-12)
     # fall back to ng for degenerate shading normals
-    ns = xp.where((dot(ns, ns) > 0.5)[..., None], ns, ng)
-    uv = uv0 * w0 + uv1 * u + uv2 * v
+    ns = v3where(ns.dot(ns) > 0.5, ns, ng)
+    uv_u = uv0u * w0 + uv1u * bu + uv2u * bv
+    uv_v = uv0v * w0 + uv1v * bu + uv2v * bv
     return {
-        "p": p, "ng": ng, "ns": ns, "uv": uv, "mat_id": mat_id,
-        "e1": e1, "e2": e2, "light_pdf": light_pdf,
+        "p": p, "ng": ng, "ns": ns, "uv_u": uv_u, "uv_v": uv_v,
+        "mat_id": mat_id, "e1": e1, "e2": e2, "light_pdf": light_pdf,
     }
 
 
 def _surface_data(scene, prim, bary, xp):
-    """Hit attributes as the classic 5-tuple (p, ng, ns, uv, mat_id)."""
-    vd = _vertex_data(scene, prim, bary, xp)
-    return vd["p"], vd["ng"], vd["ns"], vd["uv"], vd["mat_id"]
+    """Hit attributes as the classic AoS 5-tuple (p, ng, ns, uv, mat_id)
+    for the BDPT/AO integrators. ``bary`` is [N,2]."""
+    vd = _vertex_data(scene, prim, bary[..., 0], bary[..., 1], xp)
+    uv = xp.stack([vd["uv_u"], vd["uv_v"]], axis=-1)
+    return (
+        vd["p"].stack(xp), vd["ng"].stack(xp), vd["ns"].stack(xp), uv,
+        vd["mat_id"],
+    )
 
 
 def trace_paths(
@@ -181,7 +212,7 @@ def trace_paths(
 ):
     """Trace one sample per pixel; returns [N,3] radiance.
 
-    ``intersect_fn(o, d) -> (t, prim, uv, valid)``;
+    ``intersect_fn(o, d) -> (t, prim, u, v, valid)`` on V3 rays;
     ``occlude_fn(o, d, t_min, t_max) -> occluded`` — injected so the same
     code runs on JAX (BVH/Pallas) and NumPy (oracle brute force).
     ``fused_fn(shadow_o, shadow_d, shadow_tmax, o2, d2) -> (occluded, hit)``
@@ -189,11 +220,13 @@ def trace_paths(
     a single batched launch (the dense Pallas intersector benefits; the
     ray sets and RNG streams are identical either way).
     """
-    o, d = camera_rays(camera, seed, sample_idx, pixel_idx, xp)
-    n = o.shape[0]
+    o, d = camera_rays_soa(camera, seed, sample_idx, pixel_idx, xp)
+    n = o.x.shape[0]
     sdt = cfg.dtypes.spectrum
-    L = xp.zeros((n, 3), sdt)
-    beta = xp.ones((n, 3), sdt)
+    zero = xp.zeros((n,), sdt)
+    one = xp.ones((n,), sdt)
+    L = V3(zero, zero, zero)
+    beta = V3(one, one, one)
     active = xp.ones((n,), bool)
     prev_pdf = xp.zeros((n,), xp.float32)
 
@@ -214,6 +247,8 @@ def trace_paths(
                 intersect_fn, occlude_fn, fused_fn, xp,
             ), None
 
+        if cfg.remat:
+            body = jax.checkpoint(body)
         state, _ = jax.lax.scan(
             body, state, xp.arange(cfg.max_depth, dtype=xp.int32)
         )
@@ -226,40 +261,39 @@ def trace_paths(
     L = _emission_term(scene, cfg, state, cfg.max_depth, xp)
     L = L.astype(cfg.dtypes.accum)
 
+    Ls = L.stack(xp)
     if cfg.ray_clamp > 0.0:
-        L = xp.minimum(L, cfg.ray_clamp)
+        Ls = xp.minimum(Ls, cfg.ray_clamp)
     # kill NaN/Inf lanes defensively (ref clamps too)
-    L = xp.where(xp.isfinite(L), L, 0.0)
-    return L
+    return xp.where(xp.isfinite(Ls), Ls, 0.0)
 
 
 def _emission_term(scene, cfg, state, bounce, xp, vd=None):
     """Add this vertex's (MIS-weighted) emission to L and return it
     (ref: pathtracer.h:102-111). ``bounce`` may be traced (scan) or int."""
-    (t, prim, bary, valid), o, d, L, beta, active, prev_pdf = state
+    (t, prim, bu, bv, valid), o, d, L, beta, active, prev_pdf = state
     active = active & valid
     if vd is None:
-        vd = _vertex_data(scene, prim, bary, xp)
-    Le, double_sided = mat_mod.emission_and_sided(
-        scene.materials, scene.textures, vd["mat_id"], vd["uv"]
+        vd = _vertex_data(scene, prim, bu, bv, xp)
+    Le, double_sided = soa.emission_and_sided(
+        scene.materials, scene.textures, vd["mat_id"], vd["uv_u"], vd["uv_v"]
     )
-    front = dot(d, vd["ng"]) < 0.0
+    front = d.dot(vd["ng"]) < 0.0
     emit_ok = double_sided | front
-    n = o.shape[0]
+    n = t.shape[0]
     if cfg.mis == "bsdf":
         w_emit = xp.ones((n,), xp.float32)
     else:
         if cfg.mis:
-            nee_pdf = light_mod.pdf_direction_from(
-                vd["e1"], vd["e2"], vd["light_pdf"], valid, d, t,
-                double_sided, xp,
+            nee_pdf = soa.light_pdf_direction_from(
+                vd["e1"], vd["e2"], vd["light_pdf"], valid, d, t, double_sided
             )
             later = sampling.power_heuristic(prev_pdf, nee_pdf)
         else:
             later = xp.zeros((n,), xp.float32)
         is_first = xp.asarray(bounce, xp.int32) == 0
         w_emit = xp.where(is_first, xp.ones((n,), xp.float32), later)
-    return L + beta * Le * (active & emit_ok)[..., None] * w_emit[..., None]
+    return L + beta * Le * ((active & emit_ok) * w_emit)
 
 
 def _bounce_step(scene, cfg, seed, sample_idx, pixel_idx, state, bounce,
@@ -269,24 +303,26 @@ def _bounce_step(scene, cfg, seed, sample_idx, pixel_idx, state, bounce,
     ``bounce`` may be a traced scalar (lax.scan) or a python int (the
     unrolled/oracle path) — all bounce-dependent logic is branchless.
     """
-    (t, prim, bary, valid), o, d, _, beta, active, prev_pdf = state
-    vd = _vertex_data(scene, prim, bary, xp)
+    (t, prim, bu, bv, valid), o, d, _, beta, active, prev_pdf = state
+    vd = _vertex_data(scene, prim, bu, bv, xp)
     L = _emission_term(scene, cfg, state, bounce, xp, vd=vd)
     active = active & valid
-    n = o.shape[0]
-    p, ng, ns, uv, mat_id = vd["p"], vd["ng"], vd["ns"], vd["uv"], vd["mat_id"]
+    n = t.shape[0]
+    p, ng, ns = vd["p"], vd["ng"], vd["ns"]
     wo = -d
 
     # ---- material selection + closure (ref: material.h:255-297) ----
     u_mix = rng.uniform(seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_MIX))
-    leaf, choice_pdf = mat_mod.select_material(
-        scene.materials, scene.textures, mat_id, u_mix, uv
+    leaf, choice_pdf = soa.select_material(
+        scene.materials, scene.textures, vd["mat_id"], u_mix,
+        vd["uv_u"], vd["uv_v"],
     )
-    params = mat_mod.closure_params(
-        scene.materials, scene.textures, leaf, choice_pdf, uv
+    params = soa.closure_params(
+        scene.materials, scene.textures, leaf, choice_pdf,
+        vd["uv_u"], vd["uv_v"],
     )
-    frame = bsdf_mod.make_frame(ns)
-    scatterable = active & (params["kind"] != bsdf_mod.CLOSURE_NULL)
+    frame = soa.make_frame(ns)
+    scatterable = active & (params["kind"] != soa.CLOSURE_NULL)
 
     # ---- next-event estimation setup (ref: pathtracer.h:69-91) ----
     do_nee = scene.lights.n_lights > 0 and cfg.mis != "bsdf"
@@ -294,36 +330,42 @@ def _bounce_step(scene, cfg, seed, sample_idx, pixel_idx, state, bounce,
         u_sel = rng.uniform(
             seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_LIGHT_SELECT)
         )
-        u_pos = rng.uniform2(
+        u_p1 = rng.uniform(
             seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_LIGHT_U)
         )
-        ls = light_mod.sample(scene, u_sel, u_pos, p)
-        f_nee = bsdf_mod.eval_world(params, frame, wo, ls.wi)
-        cos_nee = xp.abs(dot(ns, ls.wi))
-        contrib_scale = xp.where(ls.pdf > 1e-12, 1.0 / xp.maximum(ls.pdf, 1e-12), 0.0)
-        nee_contrib = beta * f_nee * ls.L * (cos_nee * contrib_scale)[..., None]
-        useful = (
-            scatterable
-            & ls.valid
-            & xp.any(nee_contrib > 0.0, axis=-1)
+        u_p2 = rng.uniform(
+            seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_LIGHT_U) + 1
         )
-        shadow_o = p + ls.wi * (RAY_EPS / xp.maximum(xp.abs(dot(ng, ls.wi)), 1e-4))[..., None]
+        ls = soa.light_sample(scene, u_sel, u_p1, u_p2, p)
+        f_nee = soa.eval_world(params, frame, wo, ls.wi)
+        cos_nee = xp.abs(ns.dot(ls.wi))
+        contrib_scale = xp.where(
+            ls.pdf > 1e-12, 1.0 / xp.maximum(ls.pdf, 1e-12), 0.0
+        )
+        nee_contrib = beta * f_nee * ls.L * (cos_nee * contrib_scale)
+        useful = scatterable & ls.valid & (nee_contrib.max_comp() > 0.0)
+        shadow_o = p + ls.wi * (
+            RAY_EPS / xp.maximum(xp.abs(ng.dot(ls.wi)), 1e-4)
+        )
         shadow_tmax = ls.dist * (1.0 - SHADOW_EPS)
         if cfg.mis:
-            pdf_bsdf_nee = bsdf_mod.pdf_world(params, frame, wo, ls.wi)
+            pdf_bsdf_nee = soa.pdf_world(params, frame, wo, ls.wi)
             w_nee = sampling.power_heuristic(ls.pdf, pdf_bsdf_nee)
         else:
             w_nee = xp.ones((n,), xp.float32)
 
     # ---- BSDF sampling (ref: pathtracer.h on_surface_scatter) ----
-    u_bsdf = rng.uniform2(
+    u_b1 = rng.uniform(
         seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_BSDF_U)
     )
-    wi, f, pdf = bsdf_mod.sample_world(params, frame, wo, u_bsdf)
-    cos_wi = xp.abs(dot(ns, wi))
+    u_b2 = rng.uniform(
+        seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_BSDF_U) + 1
+    )
+    wi, f, pdf = soa.sample_world(params, frame, wo, u_b1, u_b2)
+    cos_wi = xp.abs(ns.dot(wi))
     ok = scatterable & (pdf > 1e-9)
-    throughput = f * (cos_wi / xp.maximum(pdf, 1e-9))[..., None]
-    beta = xp.where(ok[..., None], beta * throughput, beta)
+    throughput = f * (cos_wi / xp.maximum(pdf, 1e-9))
+    beta = v3where(ok, beta * throughput, beta)
 
     # russian roulette (new capability; off by default to match ref).
     # Enabled statically when rr can trigger within max_depth; the
@@ -332,13 +374,13 @@ def _bounce_step(scene, cfg, seed, sample_idx, pixel_idx, state, bounce,
         u_rr = rng.uniform(
             seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_RR)
         )
-        q = xp.clip(xp.max(beta, axis=-1), 0.05, 1.0)
+        q = xp.clip(beta.max_comp(), 0.05, 1.0)
         rr_on = xp.asarray(bounce, xp.int32) >= cfg.rr_start  # 0-d bool
         survive = xp.where(rr_on, u_rr < q, True)
-        beta = xp.where(rr_on, beta / q[..., None], beta)
+        beta = v3where(rr_on, beta * (1.0 / q), beta)
         ok = ok & survive
 
-    o = p + wi * (RAY_EPS / xp.maximum(xp.abs(dot(ng, wi)), 1e-4))[..., None]
+    o = p + wi * (RAY_EPS / xp.maximum(xp.abs(ng.dot(wi)), 1e-4))
     d = wi
 
     # ---- shadow + next extension rays (one fused launch if possible) ----
@@ -351,7 +393,7 @@ def _bounce_step(scene, cfg, seed, sample_idx, pixel_idx, state, bounce,
             )
         hit = intersect_fn(o, d)
     if do_nee:
-        L = L + nee_contrib * (useful & ~occluded)[..., None] * w_nee[..., None]
+        L = L + nee_contrib * ((useful & ~occluded) * w_nee)
 
     # Carry the wavefront's spectrum state in the configured variant dtype
     # (mixed-dtype arithmetic above promotes to f32; cast back on the way
@@ -360,7 +402,40 @@ def _bounce_step(scene, cfg, seed, sample_idx, pixel_idx, state, bounce,
     return (hit, o, d, L.astype(sdt), beta.astype(sdt), ok, pdf)
 
 
+def _jax_intersectors_soa(scene):
+    import jax.numpy as jnp
+
+    from ..ops.intersect import T_MAX, intersect_soa, occlude_soa
+
+    def intersect_fn(o, d):
+        h = intersect_soa(scene, o, d)
+        return h.t, h.prim, h.u, h.v, h.valid
+
+    def occlude_fn(o, d, t_min, t_max):
+        return occlude_soa(scene, o, d, t_min, t_max)
+
+    fused_fn = None
+    if scene.intersector == "pallas" and scene.instances is None:
+        # One dense launch answers N shadow rays + N extension rays: the
+        # ray-stream kernel has no any-hit early-out to lose, so merging
+        # halves the number of launches per bounce.
+        def fused_fn(shadow_o, shadow_d, shadow_tmax, o2, d2):
+            n = o2.x.shape[0]
+            cat = jnp.concatenate
+            o = V3(*(cat([a, b]) for a, b in zip(shadow_o, o2)))
+            d = V3(*(cat([a, b]) for a, b in zip(shadow_d, d2)))
+            t_max = cat([shadow_tmax, jnp.full((n,), T_MAX, jnp.float32)])
+            h = intersect_soa(scene, o, d, t_max=t_max)
+            occluded = h.valid[:n]
+            hit = (h.t[n:], h.prim[n:], h.u[n:], h.v[n:], h.valid[n:])
+            return occluded, hit
+
+    return intersect_fn, occlude_fn, fused_fn
+
+
 def _jax_intersectors(scene):
+    """AoS intersectors ([N,3] rays, Hit records) for the BDPT/AO
+    integrators (ops.intersect dispatch unchanged)."""
     import jax.numpy as jnp
 
     from ..ops.intersect import T_MAX, intersect, occlude
@@ -373,10 +448,7 @@ def _jax_intersectors(scene):
         return occlude(scene, o, d, t_min, t_max)
 
     fused_fn = None
-    if scene.intersector == "pallas":
-        # One dense launch answers N shadow rays + N extension rays: the
-        # ray-stream kernel has no any-hit early-out to lose, so merging
-        # halves the number of launches per bounce.
+    if scene.intersector == "pallas" and scene.instances is None:
         def fused_fn(shadow_o, shadow_d, shadow_tmax, o2, d2):
             n = o2.shape[0]
             o = jnp.concatenate([shadow_o, o2], axis=0)
@@ -399,7 +471,7 @@ def render_sample(scene, camera, cfg, seed, sample_idx, pixel_idx=None):
     n = camera.width * camera.height
     if pixel_idx is None:
         pixel_idx = jnp.arange(n, dtype=jnp.uint32)
-    intersect_fn, occlude_fn, fused_fn = _jax_intersectors(scene)
+    intersect_fn, occlude_fn, fused_fn = _jax_intersectors_soa(scene)
     return trace_paths(
         scene, camera, cfg, seed, sample_idx, pixel_idx,
         intersect_fn, occlude_fn, jnp, fused_fn=fused_fn,
@@ -431,7 +503,7 @@ def trace_accumulate(scene, camera, cfg, seed, base_pixel_idx, sample_offset=0):
     sample_off = jnp.repeat(
         jnp.arange(chunk, dtype=jnp.uint32), n
     )
-    intersect_fn, occlude_fn, fused_fn = _jax_intersectors(scene)
+    intersect_fn, occlude_fn, fused_fn = _jax_intersectors_soa(scene)
 
     def body(acc_count, c):
         acc, count = acc_count

@@ -66,6 +66,40 @@ def gather_rows(table, ids, max_onehot_rows=ONEHOT_MAX_ROWS):
     return out.reshape(*ids.shape, c)
 
 
+def gather_rows_t(table, ids, max_onehot_rows=ONEHOT_MAX_ROWS):
+    """Transposed gather: ``table[ids].T`` -> [C, N].
+
+    The hot-path variant (core/v3.py layout): the one-hot operand is built
+    as [Tpad, N] (ids on LANES) and the matmul is ``table.T @ one_hot`` so
+    the result lands as [C, N] — C fields on sublanes, N rays on lanes,
+    exactly tiled. Row slices ``out[i]`` then feed the component-SoA
+    shading directly with zero relayouts (a [N, C] result would put C on
+    the 128-lane tile: up to 42x padding on every downstream op).
+    """
+    if isinstance(table, np.ndarray) and not isinstance(ids, jax.Array):
+        return np.take(table, np.asarray(ids), axis=0).T
+    table = jnp.asarray(table)
+    ids = jnp.asarray(ids)
+    t, c = table.shape
+    if t > max_onehot_rows:
+        return jnp.take(table, ids, axis=0).T
+    tp = _round_up(max(t, 8), 8)  # sublane tile of the one-hot operand
+    if tp != t:
+        table = jnp.pad(table, ((0, tp - t), (0, 0)))
+    flat = ids.reshape(-1)
+    oh = (
+        flat[None, :] == jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    ).astype(jnp.float32)
+    out = jax.lax.dot_general(
+        table,
+        oh,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return out
+
+
 def gather_cols(fat, spec):
     """Split a fat gathered [..., C] block back into named pieces.
 

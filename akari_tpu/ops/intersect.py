@@ -183,3 +183,63 @@ def occlude(scene, o, d, t_min, t_max):
     d = jax.lax.stop_gradient(d)
     scene_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, scene)
     return _intersect_impl(scene_sg, o, d, t_min, t_max, any_hit=True)
+
+
+# ---------------------------------------------------------------------------
+# Component-SoA entry points (the hot wavefront path, core/v3.py layout):
+# V3 origins/directions in, [N] component results out. The Pallas backend
+# is natively SoA ([8, N] ray pack); the bvh/brute backends adapt through
+# the AoS interface (they are oracles/fallbacks, not the TPU fast path).
+
+
+class HitSoA(NamedTuple):
+    t: jax.Array      # [N] float32 (T_MAX when missed)
+    prim: jax.Array   # [N] int32 (-1 when missed)
+    u: jax.Array      # [N] barycentric u; p = v0 + u*e1 + v*e2
+    v: jax.Array      # [N] barycentric v
+    valid: jax.Array  # [N] bool
+
+
+def _soa_impl(scene, o3, d3, t_min, t_max, any_hit):
+    if scene.intersector == "pallas" and scene.instances is None:
+        from . import pallas_intersect
+
+        return pallas_intersect.intersect_pallas_soa(
+            scene, o3, d3, t_min, t_max, any_hit
+        )
+    o = jnp.stack(jnp.broadcast_arrays(o3.x, o3.y, o3.z), axis=-1)
+    d = jnp.stack(jnp.broadcast_arrays(d3.x, d3.y, d3.z), axis=-1)
+    res = _intersect_impl(scene, o, d, t_min, t_max, any_hit)
+    if any_hit:
+        return res
+    return res.t, res.prim, res.uv[..., 0], res.uv[..., 1], res.valid
+
+
+def intersect_soa(scene, o3, d3, t_min=None, t_max=None):
+    """Closest-hit query on V3 rays -> HitSoA. Gradients detached."""
+    n = o3.x.shape[0]
+    t_min = (
+        jnp.zeros((n,), jnp.float32) if t_min is None
+        else jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    )
+    t_max = (
+        jnp.full((n,), T_MAX, jnp.float32) if t_max is None
+        else jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    )
+    sg = jax.lax.stop_gradient
+    scene = jax.tree_util.tree_map(sg, scene)
+    o3 = jax.tree_util.tree_map(sg, o3)
+    d3 = jax.tree_util.tree_map(sg, d3)
+    return HitSoA(*_soa_impl(scene, o3, d3, sg(t_min), sg(t_max), False))
+
+
+def occlude_soa(scene, o3, d3, t_min, t_max):
+    """Any-hit query on V3 rays -> [N] bool occluded."""
+    n = o3.x.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    sg = jax.lax.stop_gradient
+    scene = jax.tree_util.tree_map(sg, scene)
+    o3 = jax.tree_util.tree_map(sg, o3)
+    d3 = jax.tree_util.tree_map(sg, d3)
+    return _soa_impl(scene, o3, d3, t_min, t_max, True)

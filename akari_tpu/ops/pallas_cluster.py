@@ -19,14 +19,15 @@ tile's slab test hits a supercluster does it descend to that group's 32
 clusters, and only AABB-hit clusters DMA their 128-triangle SoA block
 from HBM into VMEM for the dense pairwise Moeller-Trumbore update. A
 miss at the supercluster level skips 4096 triangles with six scalar
-loads + one [512,1] VPU slab test, so traversal cost is
+loads + one [1,512] VPU slab test, so traversal cost is
 ~K/SUPER + hit_superclusters*SUPER + hit_clusters*(DMA + dense MT)
 instead of the flat kernel's K — the hierarchical level the round-2
 linear scan lacked.
 
-Layouts match pallas_intersect.py: rays [N, 8]; tris [16, Tpad];
-clusters [Kpad, 8] and superclusters [S, 8] (lo.xyz, hi.xyz, pad, pad);
-out [N, 4] = t, u, v, prim.
+Layouts match pallas_intersect.py (round-4 transposed design — rays on
+lanes, fields on sublanes): rays [8, N]; tris [Tpad, 16]; clusters
+[Kpad, 8] and superclusters [S, 8] (lo.xyz, hi.xyz, pad, pad);
+out [4, N] = t, u, v, prim (anyhit: [1, N]).
 """
 
 from __future__ import annotations
@@ -40,7 +41,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .intersect import T_MAX
-from .pallas_intersect import RAY_TILE, TRI_TILE, _pairwise_mt
+from .pallas_intersect import (
+    RAY_TILE,
+    TRI_TILE,
+    _pairwise_mt_t,
+    closest_update,
+    init_state,
+)
 
 _BIG = np.float32(T_MAX)
 
@@ -98,10 +105,10 @@ def _cluster_kernel(rays_ref, supers_ref, clusters_ref, tris_hbm, out_ref,
     """Grid: (n_ray_tiles,). tris_hbm stays in HBM; AABB levels + rays in
     VMEM. Per supercluster: slab-test the whole ray tile, descend only on a
     hit; per cluster: slab-test again, DMA + dense MT only on a hit."""
-    rays = rays_ref[:]  # [R, 8]
-    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
-    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
-    tmin = rays[:, 6:7]
+    rays = rays_ref[:]  # [8, R]
+    ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    tmin = rays[6:7, :]
 
     def inv(c):
         return 1.0 / jnp.where(jnp.abs(c) < 1e-12, jnp.where(c < 0, -1e-12, 1e-12), c)
@@ -109,7 +116,7 @@ def _cluster_kernel(rays_ref, supers_ref, clusters_ref, tris_hbm, out_ref,
     ix, iy, iz = inv(dx), inv(dy), inv(dz)
 
     def slab_hit(box_ref, i, best_t):
-        """[R,1] bool: does any of the tile's rays hit box i (t in
+        """[1,R] bool: does any of the tile's rays hit box i (t in
         [tmin, best_t))? Six scalar VMEM reads + branchless VPU slabs."""
         lo_x, lo_y, lo_z = box_ref[i, 0], box_ref[i, 1], box_ref[i, 2]
         hi_x, hi_y, hi_z = box_ref[i, 3], box_ref[i, 4], box_ref[i, 5]
@@ -129,26 +136,17 @@ def _cluster_kernel(rays_ref, supers_ref, clusters_ref, tris_hbm, out_ref,
         )
         return near <= far
 
-    # best-t starts at per-ray t_max (rays col 7) so closest-hit honors
-    # bounded queries (same contract as pallas_intersect._closest_kernel).
-    init = jnp.concatenate(
-        [
-            jnp.minimum(rays[:, 7:8], _BIG),
-            jnp.zeros((RAY_TILE, 2), jnp.float32),
-            jnp.full((RAY_TILE, 1), -1.0, jnp.float32),
-        ],
-        axis=1,
-    )
     if any_hit:
-        init = jnp.zeros((RAY_TILE, 4), jnp.float32)
-    out_ref[:] = init
+        out_ref[:] = jnp.zeros((1, RAY_TILE), jnp.float32)
+    else:
+        out_ref[:] = init_state(rays)
 
     def tile_best_t(state):
-        return state[:, 0:1] if not any_hit else rays[:, 7:8]
+        return state[0:1, :] if not any_hit else rays[7:8, :]
 
     def not_done(state):
         if any_hit:
-            return jnp.logical_not(jnp.all(state[:, 0] > 0.0))
+            return jnp.logical_not(jnp.all(state[0, :] > 0.0))
         return True
 
     def cluster_body(j, base):
@@ -162,40 +160,18 @@ def _cluster_kernel(rays_ref, supers_ref, clusters_ref, tris_hbm, out_ref,
         def _():
             # stream this cluster's triangle block into VMEM
             dma = pltpu.make_async_copy(
-                tris_hbm.at[:, pl.ds(k * TRI_TILE, TRI_TILE)], tri_vmem, sem
+                tris_hbm.at[pl.ds(k * TRI_TILE, TRI_TILE), :], tri_vmem, sem
             )
             dma.start()
             dma.wait()
             tris = tri_vmem[:]
             state2 = out_ref[:]
             if any_hit:
-                hit, _, _, _ = _pairwise_mt(rays, tris, rays[:, 7:8])
-                got = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)
-                out_ref[:] = jnp.maximum(state2, jnp.broadcast_to(got, state2.shape))
+                hit, _, _, _ = _pairwise_mt_t(rays, tris, rays[7:8, :])
+                got = jnp.max(hit.astype(jnp.float32), axis=0, keepdims=True)
+                out_ref[:] = jnp.maximum(state2, got)
             else:
-                bt = state2[:, 0:1]
-                hit, t, u, v = _pairwise_mt(rays, tris, bt)
-                t_m = jnp.where(hit, t, _BIG)
-                tile_best = jnp.min(t_m, axis=1, keepdims=True)
-                got = tile_best[:, 0] < _BIG
-                lane = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
-                lane_sel = jnp.min(
-                    jnp.where(t_m <= tile_best, lane, TRI_TILE), axis=1
-                )
-                sel = lane == lane_sel[:, None]
-                u_best = jnp.sum(jnp.where(sel, u, 0.0), axis=1)
-                v_best = jnp.sum(jnp.where(sel, v, 0.0), axis=1)
-                prim = (k * TRI_TILE + lane_sel).astype(jnp.float32)
-                closer = got & (tile_best[:, 0] < state2[:, 0])
-                out_ref[:] = jnp.stack(
-                    [
-                        jnp.where(closer, tile_best[:, 0], state2[:, 0]),
-                        jnp.where(closer, u_best, state2[:, 1]),
-                        jnp.where(closer, v_best, state2[:, 2]),
-                        jnp.where(closer, prim, state2[:, 3]),
-                    ],
-                    axis=1,
-                )
+                out_ref[:] = closest_update(state2, rays, tris, k * TRI_TILE)
 
         return base
 
@@ -213,29 +189,37 @@ def _cluster_kernel(rays_ref, supers_ref, clusters_ref, tris_hbm, out_ref,
     jax.lax.fori_loop(0, n_supers, super_body, ())
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
-def run_clustered(rays, tris, clusters, supers, any_hit, interpret=False):
-    n_ray_tiles = rays.shape[0] // RAY_TILE
-    n_clusters = (tris.shape[1] + TRI_TILE - 1) // TRI_TILE
+@functools.partial(jax.jit, static_argnames=("any_hit", "n_tris", "interpret"))
+def run_clustered(rays, tris, clusters, supers, any_hit, n_tris,
+                  interpret=False):
+    """``n_tris`` is the REAL triangle count — the cluster guard is derived
+    from it explicitly rather than from the padded tris array, so a future
+    change to pack_tris padding cannot silently skip/visit clusters."""
+    n_ray_tiles = rays.shape[1] // RAY_TILE
+    n_clusters = (n_tris + TRI_TILE - 1) // TRI_TILE
+    assert n_clusters * TRI_TILE <= tris.shape[0], (
+        "packed triangle array smaller than the real cluster span"
+    )
     kernel = functools.partial(
         _cluster_kernel, n_clusters=n_clusters, n_supers=supers.shape[0],
         any_hit=any_hit,
     )
+    out_rows = 1 if any_hit else 4
     return pl.pallas_call(
         kernel,
         grid=(n_ray_tiles,),
         in_specs=[
-            pl.BlockSpec((RAY_TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # superclusters
             pl.BlockSpec(memory_space=pltpu.VMEM),   # clusters, whole array
             pl.BlockSpec(memory_space=pl.ANY),       # tris stay in HBM
         ],
         out_specs=pl.BlockSpec(
-            (RAY_TILE, 4), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (out_rows, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((rays.shape[0], 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_rows, rays.shape[1]), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((16, TRI_TILE), jnp.float32),
+            pltpu.VMEM((TRI_TILE, 16), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

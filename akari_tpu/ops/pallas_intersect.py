@@ -7,18 +7,24 @@ efficient per-lane row gather from a VMEM table (verified empirically), so
 divergent per-lane BVH walks are a poor fit. Instead:
 
 ``intersect_pallas`` — dense *ray-stream* intersection: a (ray_tile x
-tri_tile) grid where each step tests a [128-ray x 128-tri] block with
+tri_tile) grid where each step tests a [128-tri x 512-ray] block with
 branchless Moeller-Trumbore on the VPU, reducing the running closest hit in
 VMEM. Zero divergence, zero gathers, perfectly coalesced DMA: for small and
 mid scenes this runs at compute speed-of-light and is used by the flagship
 Cornell benchmark. Asymptotics for large scenes come from the cluster-skip
-variant (two-level: coarse AABB cull per ray block, then stream surviving
-clusters — see pallas_cluster.py) and the XLA threaded-BVH fallback
-(bvh/traverse.py).
+variant (pallas_cluster.py) and the XLA threaded-BVH fallback.
 
-Data layout: rays SoA [N, 8] (rays on sublanes, fields on lanes:
-ox oy oz dx dy dz tmin tmax); tris SoA [16, T] (fields on sublanes:
-v0 e1 e2 x/y/z + pad, tris on lanes). Outputs [N, 4]: t, u, v, prim(bits).
+Data layout (round-4 transposed design — see core/v3.py for why):
+**rays on LANES, fields on SUBLANES**. Rays are ``[8, N]`` (rows: ox oy oz
+dx dy dz tmin tmax), triangles ``[Tpad, 16]`` (tris on sublanes; cols
+v0.xyz e1.xyz e2.xyz + pad), outputs ``[4, N]`` (rows t, u, v, prim-bits).
+Every host-side array is exactly tiled (T(8,128) with zero padding) so the
+pack/unpack around the launch is pure dense traffic — the previous
+``[N, 8]`` layout padded 8 lanes to 128 (16x HBM) and cost ~4 ms/bounce in
+layout-conversion copies. Pairwise blocks inside the kernel are
+``[TRI_TILE, RAY_TILE]`` (tris on sublanes, rays on lanes) and every
+reduction is a sublane reduction yielding ``[1, R]`` rows that assign
+straight into the output block.
 """
 
 from __future__ import annotations
@@ -31,11 +37,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core.v3 import V3
 from .intersect import HIT_EPS, T_MAX, Hit
 
-# 512 rays x 128 tris per grid step: [512,128] f32 intermediates (~256 KB
-# each, ~10 live) stay within VMEM while amortizing per-step overhead over
-# 4x more rays than the minimal 128-lane tile.
+# 512 rays (lanes) x 128 tris (sublanes) per grid step: [128,512] f32
+# intermediates (256 KB each, ~12 live) fit VMEM while amortizing per-step
+# overhead over 4 lane-tiles of rays.
 RAY_TILE = 512
 TRI_TILE = 128
 _BIG = np.float32(T_MAX)
@@ -44,16 +51,19 @@ _BIG = np.float32(T_MAX)
 INTERPRET = False
 
 
-def _pairwise_mt(rays, tris, best_t):
-    """[R,8] rays x [16,T] tris -> per-pair (hit, t, u, v) as [R,T]."""
-    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]
-    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
-    tmin = rays[:, 6:7]
-    v0x, v0y, v0z = tris[0:1, :], tris[1:2, :], tris[2:3, :]
-    e1x, e1y, e1z = tris[3:4, :], tris[4:5, :], tris[5:6, :]
-    e2x, e2y, e2z = tris[6:7, :], tris[7:8, :], tris[8:9, :]
+def _pairwise_mt_t(rays, tris, best_t):
+    """[8, R] rays x [T, 16] tris -> per-pair (hit, t, u, v) as [T, R].
 
-    # pvec = d x e2
+    ``best_t`` is [1, R]. Tris vary on sublanes, rays on lanes.
+    """
+    ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    tmin = rays[6:7, :]
+    v0x, v0y, v0z = tris[:, 0:1], tris[:, 1:2], tris[:, 2:3]
+    e1x, e1y, e1z = tris[:, 3:4], tris[:, 4:5], tris[:, 5:6]
+    e2x, e2y, e2z = tris[:, 6:7], tris[:, 7:8], tris[:, 8:9]
+
+    # pvec = d x e2  -> [T, R]
     px = dy * e2z - dz * e2y
     py = dz * e2x - dx * e2z
     pz = dx * e2y - dy * e2x
@@ -78,53 +88,64 @@ def _pairwise_mt(rays, tris, best_t):
     return hit, t, u, v
 
 
+def closest_update(state, rays, tris, tri_base):
+    """One [T, R] Moeller-Trumbore sweep folded into the running state.
+
+    ``state`` is the [4, R] (t, u, v, prim) block; returns the new state.
+    Shared by the dense and the cluster-skip kernels.
+    """
+    best_t = state[0:1, :]
+    hit, t, u, v = _pairwise_mt_t(rays, tris, best_t)
+    t_m = jnp.where(hit, t, _BIG)
+    tile_best = jnp.min(t_m, axis=0, keepdims=True)       # [1, R]
+    n_tris = t_m.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 0)
+    row_sel = jnp.min(
+        jnp.where(t_m <= tile_best, row, n_tris), axis=0, keepdims=True
+    )                                                     # [1, R]
+    sel = row == row_sel
+    u_best = jnp.sum(jnp.where(sel, u, 0.0), axis=0, keepdims=True)
+    v_best = jnp.sum(jnp.where(sel, v, 0.0), axis=0, keepdims=True)
+    prim = (tri_base + row_sel).astype(jnp.float32)
+    closer = tile_best < best_t                           # [1, R]
+    return jnp.concatenate(
+        [
+            jnp.where(closer, tile_best, state[0:1, :]),
+            jnp.where(closer, u_best, state[1:2, :]),
+            jnp.where(closer, v_best, state[2:3, :]),
+            jnp.where(closer, prim, state[3:4, :]),
+        ],
+        axis=0,
+    )
+
+
+def init_state(rays):
+    """[4, R] initial (t=t_max, u=0, v=0, prim=-1) from a [8, R] ray block.
+
+    best-t starts at the per-ray t_max (row 7): hits beyond it never
+    register, so closest-hit honors bounded queries (the fused
+    shadow+extension launch in integrators/path.py relies on this)."""
+    r = rays.shape[1]
+    return jnp.concatenate(
+        [
+            jnp.minimum(rays[7:8, :], _BIG),
+            jnp.zeros((2, r), jnp.float32),
+            jnp.full((1, r), -1.0, jnp.float32),
+        ],
+        axis=0,
+    )
+
+
 def _closest_kernel(rays_ref, tris_ref, out_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        # best-t starts at the per-ray t_max (rays col 7): hits beyond it
-        # never register, so closest-hit honors bounded queries (the fused
-        # shadow+extension launch in integrators/path.py relies on this).
-        init = jnp.concatenate(
-            [
-                jnp.minimum(rays_ref[:, 7:8], _BIG),
-                jnp.zeros((RAY_TILE, 2), jnp.float32),
-                jnp.full((RAY_TILE, 1), -1.0, jnp.float32),
-            ],
-            axis=1,
-        )
-        out_ref[:] = init
+        out_ref[:] = init_state(rays_ref[:])
 
-    rays = rays_ref[:]
-    tris = tris_ref[:]
-    state = out_ref[:]  # [R, 4]: t, u, v, prim
-    best_t = state[:, 0:1]
-    hit, t, u, v = _pairwise_mt(rays, tris, best_t)
-
-    t_m = jnp.where(hit, t, _BIG)
-    tile_best = jnp.min(t_m, axis=1, keepdims=True)  # [R,1]
-    any_hit = tile_best[:, 0] < _BIG
-
-    # first lane achieving the tile best
-    lane = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
-    lane_sel = jnp.min(jnp.where(t_m <= tile_best, lane, TRI_TILE), axis=1)
-    sel = lane == lane_sel[:, None]
-    u_best = jnp.sum(jnp.where(sel, u, 0.0), axis=1)
-    v_best = jnp.sum(jnp.where(sel, v, 0.0), axis=1)
-    prim = (j * TRI_TILE + lane_sel).astype(jnp.float32)
-
-    closer = any_hit & (tile_best[:, 0] < state[:, 0])
-    new_state = jnp.stack(
-        [
-            jnp.where(closer, tile_best[:, 0], state[:, 0]),
-            jnp.where(closer, u_best, state[:, 1]),
-            jnp.where(closer, v_best, state[:, 2]),
-            jnp.where(closer, prim, state[:, 3]),
-        ],
-        axis=1,
+    out_ref[:] = closest_update(
+        out_ref[:], rays_ref[:], tris_ref[:], j * TRI_TILE
     )
-    out_ref[:] = new_state
 
 
 def _anyhit_kernel(rays_ref, tris_ref, out_ref):
@@ -135,47 +156,51 @@ def _anyhit_kernel(rays_ref, tris_ref, out_ref):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     rays = rays_ref[:]
-    tris = tris_ref[:]
-    state = out_ref[:]
-    hit, _, _, _ = _pairwise_mt(rays, tris, rays[:, 7:8])
-    any_col = jnp.max(hit.astype(jnp.float32), axis=1, keepdims=True)  # [R,1]
-    out_ref[:] = jnp.maximum(state, jnp.broadcast_to(any_col, state.shape))
+    hit, _, _, _ = _pairwise_mt_t(rays, tris_ref[:], rays[7:8, :])
+    any_row = jnp.max(hit.astype(jnp.float32), axis=0, keepdims=True)
+    out_ref[:] = jnp.maximum(out_ref[:], any_row)
 
 
-def _pack_rays(o, d, t_min, t_max):
-    n = o.shape[0]
+def _pack_rays_soa(o, d, t_min, t_max, xp=jnp):
+    """V3 o, V3 d, [N] t_min/t_max -> ([8, Npad], n). Zero padding: d = 0
+    rays have det = 0 and never hit."""
+    n = o.x.shape[0]
     pad = (-n) % RAY_TILE
-    rays = jnp.concatenate(
-        [o, d, t_min[:, None], t_max[:, None]], axis=1
-    )  # [N, 8]
+    rays = xp.stack(
+        xp.broadcast_arrays(
+            o.x, o.y, o.z, d.x, d.y, d.z,
+            xp.asarray(t_min, xp.float32), xp.asarray(t_max, xp.float32),
+        ),
+        axis=0,
+    )
     if pad:
-        filler = jnp.zeros((pad, 8), jnp.float32)
-        # degenerate rays: d=0 never hits (det=0)
-        rays = jnp.concatenate([rays, filler], axis=0)
-    return rays, n, pad
+        rays = xp.concatenate(
+            [rays, xp.zeros((8, pad), xp.float32)], axis=1
+        )
+    return rays, n
 
 
 def pack_tris(tri_v0, tri_e1, tri_e2):
-    """Host/trace-time packing: [T,3] x3 -> [16, Tpad] SoA (lane-major)."""
+    """Host/trace-time packing: [T,3] x3 -> [Tpad, 16] SoA (tris on
+    sublanes). Padded rows are all-zero (degenerate, never hit)."""
     t = tri_v0.shape[0]
     pad = (-t) % TRI_TILE
-    fields = jnp.concatenate([tri_v0, tri_e1, tri_e2], axis=1).T  # [9, T]
     fields = jnp.concatenate(
-        [fields, jnp.zeros((7, t), jnp.float32)], axis=0
-    )  # [16, T]
+        [tri_v0, tri_e1, tri_e2, jnp.zeros((t, 7), jnp.float32)], axis=1
+    )  # [T, 16]
     if pad:
         fields = jnp.concatenate(
-            [fields, jnp.zeros((16, pad), jnp.float32)], axis=1
+            [fields, jnp.zeros((pad, 16), jnp.float32)], axis=0
         )
     return fields
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
 def _run(rays, tris, any_hit, interpret=False):
-    n_ray_tiles = rays.shape[0] // RAY_TILE
-    n_tri_tiles = tris.shape[1] // TRI_TILE
+    n_ray_tiles = rays.shape[1] // RAY_TILE
+    n_tri_tiles = tris.shape[0] // TRI_TILE
     kernel = _anyhit_kernel if any_hit else _closest_kernel
-    out_cols = 4
+    out_rows = 1 if any_hit else 4
     grid = (n_ray_tiles, n_tri_tiles)
     return pl.pallas_call(
         kernel,
@@ -183,16 +208,16 @@ def _run(rays, tris, any_hit, interpret=False):
         interpret=interpret,
         in_specs=[
             pl.BlockSpec(
-                (RAY_TILE, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                (8, RAY_TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (16, TRI_TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM
+                (TRI_TILE, 16), lambda i, j: (j, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (RAY_TILE, out_cols), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+            (out_rows, RAY_TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((rays.shape[0], out_cols), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_rows, rays.shape[1]), jnp.float32),
     )(rays, tris)
 
 
@@ -201,7 +226,7 @@ def _run(rays, tris, any_hit, interpret=False):
 DENSE_MAX_TRIS = 4096
 
 
-def _sort_keys(o, d, lo, hi):
+def _sort_keys_soa(o, d, lo, hi, xp=jnp):
     """Coherence sort key per ray: direction octant (major) + 6-bit/axis
     Morton code of the origin (minor).
 
@@ -211,23 +236,28 @@ def _sort_keys(o, d, lo, hi):
     incoherent by construction; grouping by direction octant + origin cell
     restores the locality the tile test needs (the classic ray-stream
     reordering, cf. CPU SIMD ray-stream tracers)."""
-    ext = jnp.maximum(hi - lo, 1e-6)
-    q = jnp.clip((o - lo) / ext, 0.0, 1.0)
-    q = (q * 63.0).astype(jnp.uint32)  # [N,3] 6 bits per axis
-    m = jnp.zeros(o.shape[:1], jnp.uint32)
-    for b in range(6):
-        for a in range(3):
-            m = m | (((q[:, a] >> b) & 1) << (3 * b + a))
+    ext = xp.maximum(hi - lo, 1e-6)
+    m = xp.zeros(o.x.shape, xp.uint32)
+    for a, (oc, loc, extc) in enumerate(
+        [(o.x, lo[0], ext[0]), (o.y, lo[1], ext[1]), (o.z, lo[2], ext[2])]
+    ):
+        q = (xp.clip((oc - loc) / extc, 0.0, 1.0) * 63.0).astype(xp.uint32)
+        for b in range(6):
+            m = m | (((q >> b) & 1) << (3 * b + a))
     octant = (
-        (d[:, 0] < 0).astype(jnp.uint32)
-        | ((d[:, 1] < 0).astype(jnp.uint32) << 1)
-        | ((d[:, 2] < 0).astype(jnp.uint32) << 2)
+        (d.x < 0).astype(xp.uint32)
+        | ((d.y < 0).astype(xp.uint32) << 1)
+        | ((d.z < 0).astype(xp.uint32) << 2)
     )
     return (octant << 18) | m
 
 
-def intersect_pallas(scene, o, d, t_min, t_max, any_hit=False):
-    """Entry used by ops.intersect dispatch (scene.intersector == 'pallas')."""
+def intersect_pallas_soa(scene, o, d, t_min, t_max, any_hit=False):
+    """Component-SoA entry: V3 o/d, [N] t_min/t_max.
+
+    Returns ``occluded [N] bool`` (any_hit) or ``(t, prim, u, v, valid)``
+    all [N].
+    """
     tris = pack_tris(scene.tri_v0, scene.tri_e1, scene.tri_e2)
     if (
         scene.tri_v0.shape[0] > DENSE_MAX_TRIS
@@ -240,27 +270,38 @@ def intersect_pallas(scene, o, d, t_min, t_max, any_hit=False):
         # coherence sort so each 512-ray tile spans few cluster AABBs
         lo = jnp.min(supers[:, 0:3], axis=0)
         hi = jnp.max(supers[:, 3:6], axis=0)
-        order = jnp.argsort(_sort_keys(o, d, lo, hi))
-        rays, n, pad = _pack_rays(
-            jnp.take(o, order, axis=0), jnp.take(d, order, axis=0),
-            jnp.take(t_min, order), jnp.take(t_max, order),
-        )
+        order = jnp.argsort(_sort_keys_soa(o, d, lo, hi))
+        take = lambda a: jnp.take(a, order)
+        o_s = V3(take(o.x), take(o.y), take(o.z))
+        d_s = V3(take(d.x), take(d.y), take(d.z))
+        rays, n = _pack_rays_soa(o_s, d_s, take(t_min), take(t_max))
         out_sorted = run_clustered(
             rays, tris, jnp.asarray(scene.tri_clusters), supers, any_hit,
-            interpret=INTERPRET,
+            n_tris=int(scene.tri_v0.shape[0]), interpret=INTERPRET,
         )
-        out = jnp.zeros((n, 4), jnp.float32).at[order].set(out_sorted[:n])
+        inv = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0], dtype=order.dtype)
+        )
+        out = jnp.take(out_sorted[:, :n], inv, axis=1)
     else:
-        rays, n, pad = _pack_rays(o, d, t_min, t_max)
-        out = _run(rays, tris, any_hit, interpret=INTERPRET)
-        out = out[:n]
+        rays, n = _pack_rays_soa(o, d, t_min, t_max)
+        out = _run(rays, tris, any_hit, interpret=INTERPRET)[:, :n]
     if any_hit:
-        return out[:, 0] > 0.5
-    t = out[:, 0]
-    uv = out[:, 1:3]
-    prim_f = out[:, 3]
+        return out[0] > 0.5
+    t, u, v, prim_f = out[0], out[1], out[2], out[3]
     valid = (prim_f >= 0.0) & (t < _BIG)
     # prim was stored as float (exact for < 2^24 tris)
     prim = jnp.where(valid, prim_f.astype(jnp.int32), -1)
-    # mask hits on padded triangles (degenerate e2=0 never hit; padding safe)
-    return Hit(jnp.where(valid, t, _BIG), prim, uv, valid)
+    return jnp.where(valid, t, _BIG), prim, u, v, valid
+
+
+def intersect_pallas(scene, o, d, t_min, t_max, any_hit=False):
+    """AoS wrapper ([N,3] o/d -> Hit) for the generic dispatch
+    (ops.intersect) and the AoS integrators (BDPT/AO)."""
+    o3 = V3(o[..., 0], o[..., 1], o[..., 2])
+    d3 = V3(d[..., 0], d[..., 1], d[..., 2])
+    res = intersect_pallas_soa(scene, o3, d3, t_min, t_max, any_hit)
+    if any_hit:
+        return res
+    t, prim, u, v, valid = res
+    return Hit(t, prim, jnp.stack([u, v], -1), valid)

@@ -49,8 +49,9 @@ def _intersect_brute_np(scene, o, d, t_min, t_max):
     best_t = t[rows, k]
     valid = best_t < T_MAX
     prim = np.where(valid, k, -1).astype(np.int32)
-    uv = np.stack([u[rows, k], v[rows, k]], axis=-1).astype(np.float32)
-    return best_t, prim, uv, valid
+    bu = u[rows, k].astype(np.float32)
+    bv = v[rows, k].astype(np.float32)
+    return best_t, prim, bu, bv, valid
 
 
 def render_oracle(scene, camera, cfg=None, seed=0, spp=None):
@@ -61,13 +62,16 @@ def render_oracle(scene, camera, cfg=None, seed=0, spp=None):
     n = camera.width * camera.height
     pixel_idx = np.arange(n, dtype=np.uint32)
 
-    def intersect_fn(o, d):
+    def intersect_fn(o3, d3):
         return _intersect_brute_np(
-            scene, o, d, np.zeros(n, np.float32), np.full(n, T_MAX, np.float32)
+            scene, o3.stack(np), d3.stack(np),
+            np.zeros(n, np.float32), np.full(n, T_MAX, np.float32),
         )
 
-    def occlude_fn(o, d, t_min, t_max):
-        _, prim, _, valid = _intersect_brute_np(scene, o, d, t_min, t_max)
+    def occlude_fn(o3, d3, t_min, t_max):
+        _, prim, _, _, valid = _intersect_brute_np(
+            scene, o3.stack(np), d3.stack(np), t_min, t_max
+        )
         return valid
 
     acc = np.zeros((n, 3), np.float64)

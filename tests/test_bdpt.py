@@ -52,6 +52,7 @@ def test_bdpt_weights_bounded(setup):
     assert float(img.max()) < 60.0
 
 
+@pytest.mark.slow
 def test_bdpt_light_tracing_on_off_agree(setup):
     """t=1 splats + reweighted strategies keep the estimator unbiased:
     means with and without light tracing agree within MC tolerance."""
@@ -91,13 +92,14 @@ def test_bdpt_jax_matches_numpy_oracle(setup):
     sn = _to_numpy(scene)
 
     def np_isect(o, d):
-        return _intersect_brute_np(
+        t, prim, bu, bv, valid = _intersect_brute_np(
             sn, o, d, np.zeros(len(o), np.float32),
             np.full(len(o), T_MAX, np.float32),
         )
+        return t, prim, np.stack([bu, bv], axis=-1), valid
 
     def np_occl(o, d, tmin, tmax):
-        _, _, _, v = _intersect_brute_np(sn, o, d, tmin, tmax)
+        _, _, _, _, v = _intersect_brute_np(sn, o, d, tmin, tmax)
         return v
 
     ln, sn_splat = trace_bdpt(sn, sc.camera, cfg, np.uint32(0), np.uint32(0),

@@ -38,7 +38,7 @@ def _per_sample_jax(scene, cam, cfg, seed, spp):
 
     @jax.jit
     def one(s):
-        ifn, ofn, ffn = path_mod._jax_intersectors(scene)
+        ifn, ofn, ffn = path_mod._jax_intersectors_soa(scene)
         px = jnp.arange(n, dtype=jnp.uint32)
         sx = jnp.full(n, s, jnp.uint32)
         return path_mod.trace_paths(
@@ -87,17 +87,17 @@ def test_decision_parity_with_oracle():
     px = np.arange(n, dtype=np.uint32)
     sx = np.zeros(n, np.uint32)
     o_np, d_np = path_mod.camera_rays(cam, 0, sx, px, np)
-    _, prim_np, _, valid_np = _intersect_brute_np(
+    _, prim_np, _, _, valid_np = _intersect_brute_np(
         scn_np, o_np, d_np, np.zeros(n, np.float32), np.full(n, T_MAX, np.float32)
     )
 
     @jax.jit
     def jax_hit():
-        ifn, _, _ = path_mod._jax_intersectors(scene)
-        o, d = path_mod.camera_rays(
+        ifn, _, _ = path_mod._jax_intersectors_soa(scene)
+        o, d = path_mod.camera_rays_soa(
             cam, 0, jnp.asarray(sx), jnp.asarray(px), jnp
         )
-        t, prim, uv, valid = ifn(o, d)
+        t, prim, u, v, valid = ifn(o, d)
         return prim, valid
 
     prim_j, valid_j = map(np.asarray, jax_hit())
