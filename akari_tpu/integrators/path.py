@@ -68,9 +68,12 @@ class PathConfig:
     # True unrolls the bounce loop in the traced program (lets XLA
     # specialize per bounce, ~max_depth x the compile time); False scans.
     unroll: bool = False
-    # True wraps each scan bounce in jax.checkpoint: backward recomputes
-    # the bounce instead of saving its residuals (less HBM, more FLOPs).
-    remat: bool = False
+    # True wraps each scan bounce in jax.checkpoint with a policy that
+    # saves ONLY the intersection results: the backward recomputes the
+    # (cheap, SoA) shading math instead of materializing thousands of
+    # per-bounce residual slices, and never re-runs the Pallas launches.
+    # Measured r4: the residual machinery was ~85% of the fwd+bwd step.
+    remat: bool = True
 
 
 def camera_rays_soa(camera, seed, sample_idx, pixel_idx, xp):
@@ -248,7 +251,10 @@ def trace_paths(
             ), None
 
         if cfg.remat:
-            body = jax.checkpoint(body)
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.save_only_these_names("isect"),
+            )
         state, _ = jax.lax.scan(
             body, state, xp.arange(cfg.max_depth, dtype=xp.int32)
         )
@@ -392,6 +398,14 @@ def _bounce_step(scene, cfg, seed, sample_idx, pixel_idx, state, bounce,
                 shadow_o, ls.wi, xp.zeros((n,), xp.float32), shadow_tmax
             )
         hit = intersect_fn(o, d)
+    if xp is not np:
+        # tag intersection results as remat save-points (PathConfig.remat):
+        # the backward recompute then reads them instead of re-launching.
+        from jax.ad_checkpoint import checkpoint_name
+
+        hit = checkpoint_name(hit, "isect")
+        if do_nee:
+            occluded = checkpoint_name(occluded, "isect")
     if do_nee:
         L = L + nee_contrib * ((useful & ~occluded) * w_nee)
 
