@@ -23,6 +23,10 @@ def main(argv=None):
                     choices=["float32", "bfloat16"],
                     help="numeric variant for radiance/throughput "
                          "(ref: akari.conf Config<Float,Spectrum>)")
+    ap.add_argument("--width", type=int, default=None,
+                    help="override output width (camera resolution)")
+    ap.add_argument("--height", type=int, default=None,
+                    help="override output height")
     ap.add_argument("--ao", action="store_true", help="ambient occlusion mode")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sharded", action="store_true",
@@ -61,6 +65,14 @@ def main(argv=None):
     t0 = time.perf_counter()
     scene = scene_node.compile(intersector=args.intersector)
     camera = scene_node.camera
+    if args.width or args.height:
+        import dataclasses as _dc
+
+        camera = _dc.replace(
+            camera,
+            width=args.width or camera.width,
+            height=args.height or camera.height,
+        )
     log.info(
         f"scene compiled: {scene.n_tris} tris, {scene.n_materials} materials, "
         f"{scene.bvh.first.shape[0]} BVH nodes ({time.perf_counter() - t0:.2f}s)"

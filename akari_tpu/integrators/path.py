@@ -429,7 +429,9 @@ def _jax_intersectors_soa(scene):
         return occlude_soa(scene, o, d, t_min, t_max)
 
     fused_fn = None
-    if scene.intersector == "pallas" and scene.instances is None:
+    if scene.intersector == "pallas" and (
+        scene.instances is None or scene.inst_pallas_f32 is not None
+    ):
         # One dense launch answers N shadow rays + N extension rays: the
         # ray-stream kernel has no any-hit early-out to lose, so merging
         # halves the number of launches per bounce.

@@ -120,9 +120,14 @@ def _brute_closest(scene, o, d, t_min, t_max, tri_chunk=2048):
 
 def _intersect_impl(scene, o, d, t_min, t_max, any_hit=False):
     if scene.instances is not None:
-        # Two-level TLAS/BLAS traversal (instanced scenes). The Pallas /
-        # brute backends operate on flat world-space storage and do not
-        # apply per-instance transforms.
+        # Two-level instanced scenes: per-prototype Pallas BLAS when the
+        # compile built its tables, else the XLA TLAS/BLAS while-loop.
+        if scene.intersector == "pallas" and scene.inst_pallas_f32 is not None:
+            from . import pallas_intersect
+
+            return pallas_intersect.intersect_pallas(
+                scene, o, d, t_min, t_max, any_hit
+            )
         from ..bvh import traverse
 
         return traverse.intersect_instanced(scene, o, d, t_min, t_max, any_hit)
@@ -201,7 +206,9 @@ class HitSoA(NamedTuple):
 
 
 def _soa_impl(scene, o3, d3, t_min, t_max, any_hit):
-    if scene.intersector == "pallas" and scene.instances is None:
+    if scene.intersector == "pallas" and (
+        scene.instances is None or scene.inst_pallas_f32 is not None
+    ):
         from . import pallas_intersect
 
         return pallas_intersect.intersect_pallas_soa(

@@ -136,7 +136,7 @@ def init_state(rays):
     )
 
 
-def _closest_kernel(rays_ref, tris_ref, out_ref):
+def _closest_kernel(rays_ref, tris_ref, out_ref, tri_tile=TRI_TILE):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -144,11 +144,11 @@ def _closest_kernel(rays_ref, tris_ref, out_ref):
         out_ref[:] = init_state(rays_ref[:])
 
     out_ref[:] = closest_update(
-        out_ref[:], rays_ref[:], tris_ref[:], j * TRI_TILE
+        out_ref[:], rays_ref[:], tris_ref[:], j * tri_tile
     )
 
 
-def _anyhit_kernel(rays_ref, tris_ref, out_ref):
+def _anyhit_kernel(rays_ref, tris_ref, out_ref, tri_tile=TRI_TILE):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -161,11 +161,11 @@ def _anyhit_kernel(rays_ref, tris_ref, out_ref):
     out_ref[:] = jnp.maximum(out_ref[:], any_row)
 
 
-def _pack_rays_soa(o, d, t_min, t_max, xp=jnp):
+def _pack_rays_soa(o, d, t_min, t_max, xp=jnp, ray_tile=None):
     """V3 o, V3 d, [N] t_min/t_max -> ([8, Npad], n). Zero padding: d = 0
     rays have det = 0 and never hit."""
     n = o.x.shape[0]
-    pad = (-n) % RAY_TILE
+    pad = (-n) % (ray_tile or RAY_TILE)
     rays = xp.stack(
         xp.broadcast_arrays(
             o.x, o.y, o.z, d.x, d.y, d.z,
@@ -180,11 +180,11 @@ def _pack_rays_soa(o, d, t_min, t_max, xp=jnp):
     return rays, n
 
 
-def pack_tris(tri_v0, tri_e1, tri_e2):
+def pack_tris(tri_v0, tri_e1, tri_e2, tri_tile=TRI_TILE):
     """Host/trace-time packing: [T,3] x3 -> [Tpad, 16] SoA (tris on
     sublanes). Padded rows are all-zero (degenerate, never hit)."""
     t = tri_v0.shape[0]
-    pad = (-t) % TRI_TILE
+    pad = (-t) % tri_tile
     fields = jnp.concatenate(
         [tri_v0, tri_e1, tri_e2, jnp.zeros((t, 7), jnp.float32)], axis=1
     )  # [T, 16]
@@ -195,11 +195,16 @@ def pack_tris(tri_v0, tri_e1, tri_e2):
     return fields
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
-def _run(rays, tris, any_hit, interpret=False):
-    n_ray_tiles = rays.shape[1] // RAY_TILE
-    n_tri_tiles = tris.shape[0] // TRI_TILE
-    kernel = _anyhit_kernel if any_hit else _closest_kernel
+@functools.partial(
+    jax.jit, static_argnames=("any_hit", "interpret", "ray_tile", "tri_tile")
+)
+def _run(rays, tris, any_hit, interpret=False, ray_tile=RAY_TILE,
+         tri_tile=TRI_TILE):
+    n_ray_tiles = rays.shape[1] // ray_tile
+    n_tri_tiles = tris.shape[0] // tri_tile
+    kernel = functools.partial(
+        _anyhit_kernel if any_hit else _closest_kernel, tri_tile=tri_tile
+    )
     out_rows = 1 if any_hit else 4
     grid = (n_ray_tiles, n_tri_tiles)
     return pl.pallas_call(
@@ -208,14 +213,14 @@ def _run(rays, tris, any_hit, interpret=False):
         interpret=interpret,
         in_specs=[
             pl.BlockSpec(
-                (8, RAY_TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM
+                (8, ray_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (TRI_TILE, 16), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+                (tri_tile, 16), lambda i, j: (j, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (out_rows, RAY_TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM
+            (out_rows, ray_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((out_rows, rays.shape[1]), jnp.float32),
     )(rays, tris)
@@ -252,13 +257,60 @@ def _sort_keys_soa(o, d, lo, hi, xp=jnp):
     return (octant << 18) | m
 
 
+def _unpack_closest(out):
+    t, u, v, prim_f = out[0], out[1], out[2], out[3]
+    valid = (prim_f >= 0.0) & (t < _BIG)
+    # prim was stored as float (exact for < 2^24 tris)
+    prim = jnp.where(valid, prim_f.astype(jnp.int32), -1)
+    return jnp.where(valid, t, _BIG), prim, u, v, valid
+
+
+def intersect_pallas_instanced(scene, o, d, t_min, t_max, any_hit=False):
+    """Two-level instanced ray-stream entry (per-prototype Pallas BLAS,
+    ops/pallas_cluster.run_instanced). Same signature/results as
+    intersect_pallas_soa; hits carry VIRTUAL prim ids."""
+    from .pallas_cluster import run_instanced
+
+    instf = jnp.asarray(scene.inst_pallas_f32)
+    lo = jnp.min(instf[:, 0:3], axis=0)
+    hi = jnp.max(instf[:, 3:6], axis=0)
+    order = jnp.argsort(_sort_keys_soa(o, d, lo, hi))
+    take = lambda a: jnp.take(a, order)
+    o_s = V3(take(o.x), take(o.y), take(o.z))
+    d_s = V3(take(d.x), take(d.y), take(d.z))
+    rays, n = _pack_rays_soa(o_s, d_s, take(t_min), take(t_max))
+    out_sorted = run_instanced(
+        rays, instf, jnp.asarray(scene.inst_pallas_i32),
+        jnp.asarray(scene.tri_superclusters),
+        jnp.asarray(scene.tri_clusters),
+        jnp.asarray(scene.inst_tris16),
+        any_hit, interpret=INTERPRET,
+    )
+    inv = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=order.dtype)
+    )
+    out = jnp.take(out_sorted[:, :n], inv, axis=1)
+    if any_hit:
+        return out[0] > 0.5
+    return _unpack_closest(out)
+
+
 def intersect_pallas_soa(scene, o, d, t_min, t_max, any_hit=False):
     """Component-SoA entry: V3 o/d, [N] t_min/t_max.
 
     Returns ``occluded [N] bool`` (any_hit) or ``(t, prim, u, v, valid)``
     all [N].
     """
-    tris = pack_tris(scene.tri_v0, scene.tri_e1, scene.tri_e2)
+    if scene.instances is not None:
+        return intersect_pallas_instanced(scene, o, d, t_min, t_max, any_hit)
+    # Small scenes: shrink the tri tile to the 8-sublane roundup of the
+    # real count — a 36-tri Cornell tests 40 padded tris per block
+    # instead of 128 (3.2x less wasted MT work per grid step).
+    n_tris = int(scene.tri_v0.shape[0])
+    tri_tile = TRI_TILE if n_tris > 512 else max(8, -(-n_tris // 8) * 8)
+    tris = pack_tris(
+        scene.tri_v0, scene.tri_e1, scene.tri_e2, tri_tile=tri_tile
+    )
     if (
         scene.tri_v0.shape[0] > DENSE_MAX_TRIS
         and scene.tri_clusters is not None
@@ -285,14 +337,12 @@ def intersect_pallas_soa(scene, o, d, t_min, t_max, any_hit=False):
         out = jnp.take(out_sorted[:, :n], inv, axis=1)
     else:
         rays, n = _pack_rays_soa(o, d, t_min, t_max)
-        out = _run(rays, tris, any_hit, interpret=INTERPRET)[:, :n]
+        out = _run(
+            rays, tris, any_hit, interpret=INTERPRET, tri_tile=tri_tile
+        )[:, :n]
     if any_hit:
         return out[0] > 0.5
-    t, u, v, prim_f = out[0], out[1], out[2], out[3]
-    valid = (prim_f >= 0.0) & (t < _BIG)
-    # prim was stored as float (exact for < 2^24 tris)
-    prim = jnp.where(valid, prim_f.astype(jnp.int32), -1)
-    return jnp.where(valid, t, _BIG), prim, u, v, valid
+    return _unpack_closest(out)
 
 
 def intersect_pallas(scene, o, d, t_min, t_max, any_hit=False):

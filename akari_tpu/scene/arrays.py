@@ -185,6 +185,14 @@ class SceneArrays:
     # (ops/pallas_cluster.py).
     tri_clusters: jax.Array = None
     tri_superclusters: jax.Array = None
+    # Per-prototype Pallas BLAS tables (instanced scenes beyond the
+    # flatten budget; ops/pallas_cluster.run_instanced): per-prototype
+    # padded object-space triangle blocks, concatenated cluster/super
+    # AABBs (stored in tri_clusters/tri_superclusters above), and the
+    # per-instance scalar tables (world AABB + w2o | index ranges).
+    inst_tris16: jax.Array = None       # [sum Kp*128, 16] f32
+    inst_pallas_f32: jax.Array = None   # [I, 20] f32
+    inst_pallas_i32: jax.Array = None   # [I, 8] int32
     # [T, 32] fat per-triangle shading-attribute table (flat scenes): one
     # aligned gather (one-hot MXU matmul for small T, ops/gather.py) replaces
     # ~10 narrow gathers per bounce. Columns: v0(0:3) e1(3:6) e2(6:9)

@@ -406,8 +406,26 @@ def compile_scene(shapes, intersector="bvh"):
             len(np.asarray(s.mesh.indices if isinstance(s, Instance) else s.indices))
             for s in shapes
         )
-        if intersector == "bvh" or total > FLATTEN_MAX_TRIS:
-            return _compile_instanced(shapes)
+        if intersector == "bvh":
+            return _compile_instanced(shapes, "bvh")
+        if total > FLATTEN_MAX_TRIS:
+            # Too big to flatten: two-level compile. "auto"/"pallas" get
+            # the per-prototype Pallas BLAS (tables sized by shared
+            # prototype storage, not the flattened total); "brute" falls
+            # back to the XLA two-level traversal.
+            resolved = intersector
+            if resolved == "auto":
+                # size cap applies to shared prototype STORAGE, which
+                # _compile_instanced checks itself — only the backend
+                # gate matters here.
+                import jax
+
+                resolved = (
+                    "bvh" if jax.default_backend() == "cpu" else "pallas"
+                )
+            return _compile_instanced(
+                shapes, "pallas" if resolved == "pallas" else "bvh"
+            )
         shapes = _flatten_instances(shapes)
     all_p, all_n, all_uv, all_mid = [], [], [], []
     global_materials = []
@@ -529,7 +547,7 @@ def compile_scene(shapes, intersector="bvh"):
     )
 
 
-def _compile_instanced(shapes):
+def _compile_instanced(shapes, intersector="bvh"):
     """Two-level compile: shared prototype BLASes + a TLAS over instances.
 
     Capability superset of the reference's two-level BVH
@@ -738,9 +756,59 @@ def _compile_instanced(shapes):
         n_instances=n_inst,
     )
 
+    # ---- per-prototype Pallas BLAS tables (intersector == "pallas") --
+    # Storage (shared prototype) triangles drive the table sizes, so a
+    # scene of thousands of instances of a mid-size mesh stays tiny.
+    inst_tris16 = inst_clusters = inst_supers = None
+    instf = insti = None
+    if intersector == "pallas" and v0.shape[0] <= PALLAS_MAX_TRIS:
+        from ..ops.pallas_cluster import (
+            SUPER, build_clusters, build_superclusters,
+        )
+        from ..ops.pallas_intersect import TRI_TILE
+
+        t16_parts, cl_parts, sup_parts = [], [], []
+        proto_meta = []
+        sup_cur = cl_cur = tile_cur = 0
+        for p in range(len(protos)):
+            s = proto_tri_base[p]
+            cnt = proto_n_storage[p]
+            v0p, e1p, e2p = v0[s:s + cnt], e1[s:s + cnt], e2[s:s + cnt]
+            kp = -(-cnt // TRI_TILE)
+            t16 = np.zeros((kp * TRI_TILE, 16), np.float32)
+            t16[:cnt, 0:3] = v0p
+            t16[:cnt, 3:6] = e1p
+            t16[:cnt, 6:9] = e2p
+            cl = build_clusters(v0p, e1p, e2p)
+            sup = build_superclusters(cl, cnt)
+            proto_meta.append((sup_cur, sup.shape[0], cl_cur, kp, tile_cur))
+            sup_cur += sup.shape[0]
+            cl_cur += cl.shape[0]
+            tile_cur += kp
+            t16_parts.append(t16)
+            cl_parts.append(cl)
+            sup_parts.append(sup)
+        inst_tris16 = np.concatenate(t16_parts)
+        inst_clusters = np.concatenate(cl_parts)
+        inst_supers = np.concatenate(sup_parts)
+        instf = np.zeros((n_inst, 20), np.float32)
+        insti = np.zeros((n_inst, 8), np.int32)
+        for i in range(n_inst):
+            instf[i, 0:3] = ilo[i]
+            instf[i, 3:6] = ihi[i]
+            instf[i, 6:18] = w2o34[i].reshape(12)
+            sb, sc, cb, cc, tb = proto_meta[inst_proto[i]]
+            insti[i] = (sb, sc, cb, cc, tb, int(prim_base[i]), 0, 0)
+    else:
+        intersector = "bvh"
+
     return SceneArrays(
         tri_v0=v0, tri_e1=e1, tri_e2=e2,
-        tri_clusters=None,
+        tri_clusters=inst_clusters,
+        tri_superclusters=inst_supers,
+        inst_tris16=inst_tris16,
+        inst_pallas_f32=instf,
+        inst_pallas_i32=insti,
         normals=normals, uvs=uvs, mat_id=mat_id,
         materials=mat_table, textures=tex_table, lights=lights,
         bvh=BVHArrays(**merged),
@@ -748,5 +816,5 @@ def _compile_instanced(shapes):
         instances=instances,
         n_tris=int(prim_base[-1]),
         n_materials=len(mats.items),
-        intersector="bvh",
+        intersector=intersector,
     )

@@ -75,7 +75,7 @@ def test_albedo_and_emission_finite_difference(setup):
 def test_inverse_rendering_recovers_albedo():
     """Corrupt the wall albedos, re-fit on the rendered target via the
     sharded Adam loop (BASELINE config 4, abbreviated for CI; the full
-    high-res Cornell run is recorded in gallery/recovery_r3.md)."""
+    high-res Cornell run is recorded in gallery/recovery_r4.md)."""
     import dataclasses
 
     from akari_tpu.diff.inverse import InverseConfig, inverse_render
