@@ -25,7 +25,7 @@ instead of the flat kernel's K — the hierarchical level the round-2
 linear scan lacked.
 
 Layouts match pallas_intersect.py (round-4 transposed design — rays on
-lanes, fields on sublanes): rays [8, N]; tris [Tpad, 16]; clusters
+lanes, fields on sublanes): rays [8, N]; tris [16, Tpad] in HBM (tris on lanes); clusters
 [Kpad, 8] and superclusters [S, 8] (lo.xyz, hi.xyz, pad, pad);
 out [4, N] = t, u, v, prim (anyhit: [1, N]).
 """
@@ -158,13 +158,16 @@ def _cluster_kernel(rays_ref, supers_ref, clusters_ref, tris_hbm, out_ref,
 
         @pl.when(cond)
         def _():
-            # stream this cluster's triangle block into VMEM
+            # stream this cluster's triangle block into VMEM. The HBM
+            # store is [16, T] (tris on LANES: manual DMA slices must be
+            # 128-lane aligned - Mosaic rejects a 16-wide lane slice);
+            # one small [16,128] transpose puts tris back on sublanes.
             dma = pltpu.make_async_copy(
-                tris_hbm.at[pl.ds(k * TRI_TILE, TRI_TILE), :], tri_vmem, sem
+                tris_hbm.at[:, pl.ds(k * TRI_TILE, TRI_TILE)], tri_vmem, sem
             )
             dma.start()
             dma.wait()
-            tris = tri_vmem[:]
+            tris = jnp.transpose(tri_vmem[:])
             state2 = out_ref[:]
             if any_hit:
                 hit, _, _, _ = _pairwise_mt_t(rays, tris, rays[7:8, :])
@@ -298,15 +301,17 @@ def _instanced_kernel(rays_ref, instf_ref, insti_ref, supers_ref,
 
                 @pl.when(ccond)
                 def _():
+                    # [16, T] HBM store; lane-aligned DMA + small
+                    # transpose (see _cluster_kernel)
                     dma = pltpu.make_async_copy(
                         tris_hbm.at[
-                            pl.ds((tile_base + k) * TRI_TILE, TRI_TILE), :
+                            :, pl.ds((tile_base + k) * TRI_TILE, TRI_TILE)
                         ],
                         tri_vmem, sem,
                     )
                     dma.start()
                     dma.wait()
-                    tris = tri_vmem[:]
+                    tris = jnp.transpose(tri_vmem[:])
                     state3 = out_ref[:]
                     if any_hit:
                         hit, _, _, _ = _pairwise_mt_t(
@@ -375,7 +380,7 @@ def run_instanced(rays, instf, insti, supers, clusters, tris, any_hit,
         ),
         out_shape=jax.ShapeDtypeStruct((out_rows, rays.shape[1]), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TRI_TILE, 16), jnp.float32),
+            pltpu.VMEM((16, TRI_TILE), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -390,7 +395,7 @@ def run_clustered(rays, tris, clusters, supers, any_hit, n_tris,
     change to pack_tris padding cannot silently skip/visit clusters."""
     n_ray_tiles = rays.shape[1] // RAY_TILE
     n_clusters = (n_tris + TRI_TILE - 1) // TRI_TILE
-    assert n_clusters * TRI_TILE <= tris.shape[0], (
+    assert n_clusters * TRI_TILE <= tris.shape[1], (
         "packed triangle array smaller than the real cluster span"
     )
     kernel = functools.partial(
@@ -412,7 +417,7 @@ def run_clustered(rays, tris, clusters, supers, any_hit, n_tris,
         ),
         out_shape=jax.ShapeDtypeStruct((out_rows, rays.shape[1]), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TRI_TILE, 16), jnp.float32),
+            pltpu.VMEM((16, TRI_TILE), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

@@ -180,6 +180,23 @@ def _pack_rays_soa(o, d, t_min, t_max, xp=jnp, ray_tile=None):
     return rays, n
 
 
+def pack_tris_t(tri_v0, tri_e1, tri_e2):
+    """[T,3] x3 -> [16, Tpad] (fields on sublanes, tris on LANES): the
+    HBM-resident store for the cluster/instanced kernels, whose manual
+    DMAs slice 128-aligned lane runs. Minor dim Tpad is exactly tiled
+    (a [Tpad, 16] store would lane-pad 8x in HBM)."""
+    t = tri_v0.shape[0]
+    pad = (-t) % TRI_TILE
+    fields = jnp.concatenate(
+        [tri_v0, tri_e1, tri_e2, jnp.zeros((t, 7), jnp.float32)], axis=1
+    ).T  # [16, T]
+    if pad:
+        fields = jnp.concatenate(
+            [fields, jnp.zeros((16, pad), jnp.float32)], axis=1
+        )
+    return fields
+
+
 def pack_tris(tri_v0, tri_e1, tri_e2, tri_tile=TRI_TILE):
     """Host/trace-time packing: [T,3] x3 -> [Tpad, 16] SoA (tris on
     sublanes). Padded rows are all-zero (degenerate, never hit)."""
@@ -317,6 +334,8 @@ def intersect_pallas_soa(scene, o, d, t_min, t_max, any_hit=False):
         and scene.tri_superclusters is not None
     ):
         from .pallas_cluster import run_clustered
+
+        tris = pack_tris_t(scene.tri_v0, scene.tri_e1, scene.tri_e2)
 
         supers = jnp.asarray(scene.tri_superclusters)
         # coherence sort so each 512-ray tile spans few cluster AABBs
