@@ -276,8 +276,13 @@ def trace_paths(
 
 def _emission_term(scene, cfg, state, bounce, xp, vd=None):
     """Add this vertex's (MIS-weighted) emission to L and return it
-    (ref: pathtracer.h:102-111). ``bounce`` may be traced (scan) or int."""
+    (ref: pathtracer.h:102-111) — plus the environment radiance on lanes
+    whose extension ray escaped (once per path: ``active`` still holds
+    the pre-miss liveness here and drops to False next bounce).
+    ``bounce`` may be traced (scan) or int."""
     (t, prim, bu, bv, valid), o, d, L, beta, active, prev_pdf = state
+    has_env = scene.env_image is not None
+    escaped = active & ~valid
     active = active & valid
     if vd is None:
         vd = _vertex_data(scene, prim, bu, bv, xp)
@@ -287,19 +292,36 @@ def _emission_term(scene, cfg, state, bounce, xp, vd=None):
     front = d.dot(vd["ng"]) < 0.0
     emit_ok = double_sided | front
     n = t.shape[0]
+    is_first = xp.asarray(bounce, xp.int32) == 0
+    ones = xp.ones((n,), xp.float32)
     if cfg.mis == "bsdf":
-        w_emit = xp.ones((n,), xp.float32)
+        w_emit = ones
     else:
         if cfg.mis:
             nee_pdf = soa.light_pdf_direction_from(
                 vd["e1"], vd["e2"], vd["light_pdf"], valid, d, t, double_sided
             )
+            if has_env:
+                # NEE is a strategy mixture when an env light exists
+                nee_pdf = nee_pdf * (1.0 - scene.env_p_select)
             later = sampling.power_heuristic(prev_pdf, nee_pdf)
         else:
             later = xp.zeros((n,), xp.float32)
-        is_first = xp.asarray(bounce, xp.int32) == 0
-        w_emit = xp.where(is_first, xp.ones((n,), xp.float32), later)
-    return L + beta * Le * ((active & emit_ok) * w_emit)
+        w_emit = xp.where(is_first, ones, later)
+    L = L + beta * Le * ((active & emit_ok) * w_emit)
+    if has_env:
+        Le_env = soa.env_eval(scene, d)
+        if cfg.mis == "bsdf":
+            w_env = ones
+        elif cfg.mis:
+            env_nee = soa.env_pdf_sa(scene, d) * scene.env_p_select
+            w_env = xp.where(
+                is_first, ones, sampling.power_heuristic(prev_pdf, env_nee)
+            )
+        else:
+            w_env = xp.where(is_first, ones, xp.zeros((n,), xp.float32))
+        L = L + beta * Le_env * (escaped * w_env)
+    return L
 
 
 def _bounce_step(scene, cfg, seed, sample_idx, pixel_idx, state, bounce,
@@ -331,7 +353,9 @@ def _bounce_step(scene, cfg, seed, sample_idx, pixel_idx, state, bounce,
     scatterable = active & (params["kind"] != soa.CLOSURE_NULL)
 
     # ---- next-event estimation setup (ref: pathtracer.h:69-91) ----
-    do_nee = scene.lights.n_lights > 0 and cfg.mis != "bsdf"
+    do_nee = (
+        scene.lights.n_lights > 0 or scene.env_image is not None
+    ) and cfg.mis != "bsdf"
     if do_nee:
         u_sel = rng.uniform(
             seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_LIGHT_SELECT)
@@ -342,7 +366,7 @@ def _bounce_step(scene, cfg, seed, sample_idx, pixel_idx, state, bounce,
         u_p2 = rng.uniform(
             seed, pixel_idx, sample_idx, rng.bounce_dim(bounce, rng.OFF_LIGHT_U) + 1
         )
-        ls = soa.light_sample(scene, u_sel, u_p1, u_p2, p)
+        ls = soa.light_sample_mixed(scene, u_sel, u_p1, u_p2, p)
         f_nee = soa.eval_world(params, frame, wo, ls.wi)
         cos_nee = xp.abs(ns.dot(ls.wi))
         contrib_scale = xp.where(

@@ -190,9 +190,18 @@ class SceneArrays:
     # padded object-space triangle blocks, concatenated cluster/super
     # AABBs (stored in tri_clusters/tri_superclusters above), and the
     # per-instance scalar tables (world AABB + w2o | index ranges).
-    inst_tris16: jax.Array = None       # [sum Kp*128, 16] f32
+    inst_tris16: jax.Array = None       # [16, sum Kp*128] f32 (tris on lanes)
     inst_pallas_f32: jax.Array = None   # [I, 20] f32
     inst_pallas_i32: jax.Array = None   # [I, 8] int32
+    # Environment (dome) light — beyond the reference's surface (it has
+    # no infinite lights): equirectangular radiance map + a flattened
+    # luminance*sin(theta) CDF for importance sampling (one searchsorted
+    # per NEE draw), and the NEE strategy-mixture probability of picking
+    # the env over the area lights. None = no environment.
+    env_image: jax.Array = None     # [He, We, 3] f32 linear radiance
+    env_cdf: jax.Array = None       # [He*We + 1] f32 flattened texel CDF
+    env_pmf: jax.Array = None       # [He*We] f32 texel pmf
+    env_p_select: jax.Array = None  # [] f32 P(pick env | NEE)
     # [T, 32] fat per-triangle shading-attribute table (flat scenes): one
     # aligned gather (one-hot MXU matmul for small T, ops/gather.py) replaces
     # ~10 narrow gathers per bounce. Columns: v0(0:3) e1(3:6) e2(6:9)

@@ -107,6 +107,30 @@ class MixMaterial:
     material_b: object = None
 
 
+@dataclass
+class EnvMapLight:
+    """Infinite environment (dome) light — beyond the reference's surface
+    (it has no infinite lights). ``image`` is an equirectangular linear
+    radiance map: an [H,W,3] array, an ImageTexture, or a path (.hdr /
+    .png / .npy via core/image.read_image); ``scale`` multiplies it."""
+
+    image: object
+    scale: float = 1.0
+
+    def load_image(self):
+        img = self.image
+        if isinstance(img, ImageTexture):
+            img = img.image
+        elif isinstance(img, str):
+            from ..core.image import read_image
+
+            img = read_image(img)
+        img = np.asarray(img, np.float32) * np.float32(self.scale)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        return np.ascontiguousarray(img[..., :3])
+
+
 # --------------------------------------------------------------------------
 # Shape node (ref: nodes/mesh.cpp AkariMesh + kernel/instance.h MeshInstance)
 # --------------------------------------------------------------------------
@@ -159,10 +183,14 @@ class Scene:
     shapes: list = field(default_factory=list)   # [Mesh]
     camera: object = None                        # arrays.Camera
     integrator: object = None                    # integrators config
+    environment: object = None                   # EnvMapLight or None
     output: str = "out.png"
 
     def compile(self, intersector="bvh"):
-        return compile_scene(self.shapes, intersector=intersector)
+        return compile_scene(
+            self.shapes, intersector=intersector,
+            environment=self.environment,
+        )
 
 
 def _flatten_mesh(mesh):
@@ -391,7 +419,40 @@ def _flatten_instances(shapes):
     return out
 
 
-def compile_scene(shapes, intersector="bvh"):
+def _compile_env(environment, area_power_total):
+    """EnvMapLight -> (env_image, env_cdf, env_pmf, env_p_select).
+
+    Texel weights are luminance * sin(theta) (the equirect area measure);
+    the flattened CDF gives one-searchsorted importance sampling
+    (shading/soa.py env_sample). The NEE strategy mixture picks the env
+    with probability env_power / (env_power + area_power) — any p in
+    (0,1) is unbiased under MIS; power-proportional keeps variance low
+    for both env-lit and emitter-lit scenes."""
+    from ..core.spectrum import luminance as _lum
+
+    img = environment.load_image()
+    he, we = img.shape[0], img.shape[1]
+    lum = (
+        img[..., 0] * 0.2126 + img[..., 1] * 0.7152 + img[..., 2] * 0.0722
+    ).astype(np.float64)
+    sin_t = np.sin((np.arange(he, dtype=np.float64) + 0.5) / he * np.pi)
+    weight = lum * sin_t[:, None]
+    pmf, cdf = build_cdf(weight.reshape(-1))
+    # total env power ~ mean radiance integrated over the sphere
+    env_power = float((lum * sin_t[:, None]).mean() * 2.0 * np.pi * np.pi)
+    p_sel = 1.0 if area_power_total <= 0.0 else env_power / (
+        env_power + float(area_power_total)
+    )
+    p_sel = float(np.clip(p_sel, 0.05, 1.0 if area_power_total <= 0 else 0.95))
+    return (
+        img.astype(np.float32),
+        cdf.astype(np.float32),
+        pmf.astype(np.float32),
+        np.float32(p_sel),
+    )
+
+
+def compile_scene(shapes, intersector="bvh", environment=None):
     """Merge meshes, build materials/lights/BVH -> SceneArrays (numpy leaves).
 
     Call ``jax.device_put`` (or just use under jit) to move to TPU.
@@ -401,6 +462,13 @@ def compile_scene(shapes, intersector="bvh"):
     instances are flattened to world space so the Pallas hierarchy (and
     the fat prim_table gather) serve them too.
     """
+    if environment is not None and any(
+        isinstance(s, Instance) for s in shapes
+    ):
+        raise NotImplementedError(
+            "environment lights are supported on flat scenes only "
+            "(instanced scenes: flatten or drop the env light)"
+        )
     if any(isinstance(s, Instance) for s in shapes):
         total = sum(
             len(np.asarray(s.mesh.indices if isinstance(s, Instance) else s.indices))
@@ -487,6 +555,7 @@ def compile_scene(shapes, intersector="bvh"):
             ]
         ) * areas
         pdf, cdf = build_cdf(power)
+        area_power_total = float(power.sum())
         light_of_orig = np.full(n_orig, -1, np.int32)
         light_of_orig[light_orig] = np.arange(light_orig.size, dtype=np.int32)
         tri_to_light = light_of_orig[order]
@@ -496,12 +565,19 @@ def compile_scene(shapes, intersector="bvh"):
             n_lights=int(light_tris.size),
         )
     else:
+        area_power_total = 0.0
         lights = LightTable(
             tri_id=np.zeros(1, np.int32),
             cdf=np.asarray([0.0, 1.0], np.float32),
             pdf=np.ones(1, np.float32),
             tri_to_light=np.full(max(v0.shape[0], 1), -1, np.int32),
             n_lights=0,
+        )
+
+    env_image = env_cdf = env_pmf = env_p = None
+    if environment is not None:
+        env_image, env_cdf, env_pmf, env_p = _compile_env(
+            environment, area_power_total
         )
 
     from ..ops.pallas_cluster import build_clusters, build_superclusters
@@ -541,6 +617,10 @@ def compile_scene(shapes, intersector="bvh"):
         lights=lights,
         bvh=BVHArrays(**bvh),
         prim_to_orig=order.astype(np.int32),
+        env_image=env_image,
+        env_cdf=env_cdf,
+        env_pmf=env_pmf,
+        env_p_select=env_p,
         n_tris=int(v0.shape[0]),
         n_materials=len(mats.items),
         intersector=intersector,
@@ -785,10 +865,10 @@ def _compile_instanced(shapes, intersector="bvh"):
             sup_cur += sup.shape[0]
             cl_cur += cl.shape[0]
             tile_cur += kp
-            t16_parts.append(t16)
+            t16_parts.append(t16.T.copy())  # [16, kp*TRI_TILE], tris on lanes
             cl_parts.append(cl)
             sup_parts.append(sup)
-        inst_tris16 = np.concatenate(t16_parts)
+        inst_tris16 = np.concatenate(t16_parts, axis=1)
         inst_clusters = np.concatenate(cl_parts)
         inst_supers = np.concatenate(sup_parts)
         instf = np.zeros((n_inst, 20), np.float32)

@@ -22,6 +22,7 @@ from .nodes import (
     EmissiveMaterial,
     GlossyMaterial,
     ImageTexture,
+    EnvMapLight,
     Mesh,
     MirrorMaterial,
     MixMaterial,
@@ -201,6 +202,16 @@ def _ao(fields, base_dir="."):
     )
 
 
+@register_node("EnvMap")
+def _envmap(fields, base_dir="."):
+    """Environment light node: EnvMap { image: "sky.hdr", scale: 1.0 }.
+    New vs the reference (no infinite lights there)."""
+    img = fields.get("image")
+    if isinstance(img, str):
+        img = os.path.join(base_dir, img)
+    return EnvMapLight(image=img, scale=float(fields.get("scale", 1.0)))
+
+
 @register_node("Scene")
 def _scene(fields, base_dir="."):
     shapes = fields.get("shapes", [])
@@ -210,5 +221,6 @@ def _scene(fields, base_dir="."):
         shapes=shapes,
         camera=fields.get("camera"),
         integrator=fields.get("integrator"),
+        environment=fields.get("environment"),
         output=fields.get("output", "out.png"),
     )

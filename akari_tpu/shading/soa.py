@@ -462,6 +462,132 @@ def light_sample(scene, u_select, u_pos1, u_pos2, p_ref):
     return LightSampleSoA(wi, dist, L, pdf, valid)
 
 
+# --------------------------- environment light ------------------------------
+# Equirectangular mapping: u = (atan2(x, -z) + pi) / 2pi, v = acos(y) / pi
+# (v = 0 at +Y). Importance sampling uses the flattened luminance*sin(v*pi)
+# texel CDF (SceneArrays.env_cdf); pdf conversion image -> solid angle is
+# pmf * He*We / (2 pi^2 sin(theta)).
+
+def env_uv_of_dir(d):
+    """V3 unit direction -> ([N] u, [N] v) equirect coords."""
+    xp = _xp(d.x)
+    u = (xp.arctan2(d.x, -d.z) + PI) / (2.0 * PI)
+    v = xp.arccos(xp.clip(d.y, -1.0, 1.0)) / PI
+    return u, v
+
+
+def env_eval(scene, d):
+    """Bilinear radiance of the environment map along V3 d -> V3."""
+    xp = _xp(d.x)
+    img = scene.env_image
+    he, we = img.shape[0], img.shape[1]
+    u, v = env_uv_of_dir(d)
+    x = u * we - 0.5
+    y = v * he - 0.5
+    x0 = xp.floor(x)
+    y0 = xp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(xp.int32) % we
+    x1i = (x0i + 1) % we                      # wrap in longitude
+    y0i = xp.clip(y0.astype(xp.int32), 0, he - 1)
+    y1i = xp.clip(y0i + 1, 0, he - 1)         # clamp at poles
+    flat = img.reshape(-1, 3)
+
+    def texel(yi, xi):
+        t = xp.take(flat, yi * we + xi, axis=0)
+        return V3(t[..., 0], t[..., 1], t[..., 2])
+
+    c00, c01 = texel(y0i, x0i), texel(y0i, x1i)
+    c10, c11 = texel(y1i, x0i), texel(y1i, x1i)
+    top = c00 * (1.0 - fx) + c01 * fx
+    bot = c10 * (1.0 - fx) + c11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def env_pdf_sa(scene, d):
+    """Solid-angle NEE pdf of sampling direction d from the env CDF
+    (EXCLUDING the strategy-mixture factor env_p_select)."""
+    xp = _xp(d.x)
+    he = scene.env_image.shape[0]
+    we = scene.env_image.shape[1]
+    u, v = env_uv_of_dir(d)
+    xi = xp.clip((u * we).astype(xp.int32), 0, we - 1)
+    yi = xp.clip((v * he).astype(xp.int32), 0, he - 1)
+    pmf = xp.take(scene.env_pmf, yi * we + xi)
+    sin_t = xp.maximum(xp.sin(v * PI), 1e-6)
+    return pmf * (he * we) / (2.0 * PI * PI * sin_t)
+
+
+def env_sample(scene, u1, u2):
+    """Importance-sample a direction from the env CDF: texel via ONE
+    searchsorted on the flattened CDF (u1; the in-texel longitude comes
+    free from the continuous inverse-CDF remainder), latitude jitter
+    from u2. Both in-texel coordinates are uniform, so the sampling
+    density is exactly pmf * He*We per unit image area.
+
+    Returns (wi V3, Le V3, pdf_sa [N]).
+    """
+    from ..core.distribution import sample_continuous
+
+    xp = _xp(u1)
+    he = scene.env_image.shape[0]
+    we = scene.env_image.shape[1]
+    x_flat, pdf_flat, idx = sample_continuous(scene.env_cdf, u1)
+    # de-flatten: texel (yi, xi) + uniform position inside it
+    frac = x_flat * (he * we) - idx.astype(xp.float32)
+    yi = idx // we
+    xi = idx % we
+    u = (xi.astype(xp.float32) + frac) / we
+    v = (yi.astype(xp.float32) + u2) / he
+    theta = v * PI
+    phi = u * 2.0 * PI - PI
+    sin_t = xp.sin(theta)
+    wi = V3(sin_t * xp.sin(phi), xp.cos(theta), -sin_t * xp.cos(phi))
+    Le = env_eval(scene, wi)
+    pmf = xp.take(scene.env_pmf, idx)
+    pdf = pmf * (he * we) / (2.0 * PI * PI * xp.maximum(sin_t, 1e-6))
+    return wi, Le, pdf
+
+
+# Shadow-ray length used for environment NEE samples (the occlusion query
+# is "anything between here and the sky?").
+ENV_SHADOW_DIST = np.float32(1e7)
+
+
+def light_sample_mixed(scene, u_select, u_p1, u_p2, p_ref):
+    """NEE sample from the area-light/environment strategy mixture.
+
+    No env: plain area sampling. Env only: pure env sampling. Both: pick
+    the env with probability ``scene.env_p_select`` (u_select split +
+    rescale), and fold the mixture pmf into the returned pdf so MIS
+    weights stay consistent (integrators/path.py).
+    """
+    xp = _xp(u_select)
+    has_env = scene.env_image is not None
+    if not has_env:
+        return light_sample(scene, u_select, u_p1, u_p2, p_ref)
+    if scene.lights.n_lights == 0:
+        wi, Le, pdf = env_sample(scene, u_p1, u_p2)
+        dist = xp.full(u_select.shape, ENV_SHADOW_DIST, xp.float32)
+        return LightSampleSoA(wi, dist, Le, pdf, pdf > 0.0)
+    p_env = scene.env_p_select
+    is_env = u_select < p_env
+    u_area = xp.clip(
+        (u_select - p_env) / xp.maximum(1.0 - p_env, 1e-6), 0.0, 0.999999
+    )
+    ls = light_sample(scene, u_area, u_p1, u_p2, p_ref)
+    wi_e, Le_e, pdf_e = env_sample(scene, u_p1, u_p2)
+    wi = v3where(is_env, wi_e, ls.wi)
+    dist = xp.where(
+        is_env, xp.full(u_select.shape, ENV_SHADOW_DIST, xp.float32), ls.dist
+    )
+    L = v3where(is_env, Le_e, ls.L)
+    pdf = xp.where(is_env, pdf_e * p_env, ls.pdf * (1.0 - p_env))
+    valid = xp.where(is_env, pdf_e > 0.0, ls.valid)
+    return LightSampleSoA(wi, dist, L, pdf, valid)
+
+
 def light_pdf_direction_from(e1, e2, sel_pdf, hit_ok, wi, dist, double_sided):
     """MIS light pdf from already-gathered hit data (V3 e1/e2/wi)."""
     xp = _xp(dist)
