@@ -101,7 +101,8 @@ def build_superclusters(clusters, n_tris):
 
 
 def _cluster_kernel(rays_ref, supers_ref, clusters_ref, tris_hbm, out_ref,
-                    tri_vmem, sem, *, n_clusters, n_supers, any_hit):
+                    tri_vmem, cflags_ref, sem, *, n_clusters, n_supers,
+                    any_hit):
     """Grid: (n_ray_tiles,). tris_hbm stays in HBM; AABB levels + rays in
     VMEM. Per supercluster: slab-test the whole ray tile, descend only on a
     hit; per cluster: slab-test again, DMA + dense MT only on a hit."""
@@ -151,10 +152,10 @@ def _cluster_kernel(rays_ref, supers_ref, clusters_ref, tris_hbm, out_ref,
 
     def cluster_body(j, base):
         k = base + j
-        state = out_ref[:]
-        best_t = tile_best_t(state)
-        box_hit = slab_hit(clusters_ref, k, best_t)
-        cond = jnp.any(box_hit) & (k < n_clusters) & not_done(state)
+        # cflags_ref holds the vectorized per-cluster verdicts of this
+        # supercluster (computed once in super_body): one scalar read
+        # replaces a [1,R] slab test per cluster.
+        cond = (cflags_ref[j, 0] > 0.0) & not_done(out_ref[:])
 
         @pl.when(cond)
         def _():
@@ -180,11 +181,39 @@ def _cluster_kernel(rays_ref, supers_ref, clusters_ref, tris_hbm, out_ref,
 
     def super_body(s, _):
         state = out_ref[:]
-        box_hit = slab_hit(supers_ref, s, tile_best_t(state))
+        best_t = tile_best_t(state)
+        box_hit = slab_hit(supers_ref, s, best_t)
         cond = jnp.any(box_hit) & not_done(state)
 
         @pl.when(cond)
         def _():
+            # ONE vectorized [SUPER, R] slab test over all 32 member
+            # clusters (cluster boxes on sublanes x rays on lanes)
+            # replaces 32 serial [1, R] tests — the serial tests were
+            # the dominant traversal cost on big scenes. best_t is the
+            # super-entry value (slightly stale pruning = extra descents
+            # only, never missed hits; the MT update reprunes exactly).
+            cb = clusters_ref[pl.ds(s * SUPER, SUPER), :]     # [32, 8]
+            t0x = (cb[:, 0:1] - ox) * ix
+            t1x = (cb[:, 3:4] - ox) * ix
+            t0y = (cb[:, 1:2] - oy) * iy
+            t1y = (cb[:, 4:5] - oy) * iy
+            t0z = (cb[:, 2:3] - oz) * iz
+            t1z = (cb[:, 5:6] - oz) * iz
+            near = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+            )
+            far = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), best_t),
+            )
+            hit32 = jnp.max(
+                (near <= far).astype(jnp.float32), axis=1, keepdims=True
+            )                                                  # [32, 1]
+            row = jax.lax.broadcasted_iota(jnp.int32, (SUPER, 1), 0)
+            in_range = (s * SUPER + row) < n_clusters
+            cflags_ref[:] = jnp.where(in_range, hit32, 0.0)
             jax.lax.fori_loop(0, SUPER, cluster_body, s * SUPER)
 
         return ()
@@ -193,8 +222,8 @@ def _cluster_kernel(rays_ref, supers_ref, clusters_ref, tris_hbm, out_ref,
 
 
 def _instanced_kernel(rays_ref, instf_ref, insti_ref, supers_ref,
-                      clusters_ref, tris_hbm, out_ref, tri_vmem, sem,
-                      *, n_inst, any_hit):
+                      clusters_ref, tris_hbm, out_ref, tri_vmem, cflags_ref,
+                      sem, *, n_inst, any_hit):
     """Two-level instanced ray-stream kernel (the per-prototype Pallas
     BLAS the r3 verdict asked for — ref: two-level traversal,
     kernel/bvh-accelerator.h:551-683, plus the transforms it lacks).
@@ -288,16 +317,8 @@ def _instanced_kernel(rays_ref, instf_ref, insti_ref, supers_ref,
 
             def cluster_body(j, base):
                 k = base + j  # proto-local cluster index
-                state2 = out_ref[:]
-                bt = tile_best_t(state2)
-                row = cl_base + k
-                chit = slab(
-                    ox, oy, oz, ix, iy, iz,
-                    clusters_ref[row, 0], clusters_ref[row, 1],
-                    clusters_ref[row, 2], clusters_ref[row, 3],
-                    clusters_ref[row, 4], clusters_ref[row, 5], bt,
-                )
-                ccond = jnp.any(chit) & (k < cl_count) & not_done(state2)
+                # vectorized per-super verdicts (see super_body)
+                ccond = (cflags_ref[j, 0] > 0.0) & not_done(out_ref[:])
 
                 @pl.when(ccond)
                 def _():
@@ -330,18 +351,48 @@ def _instanced_kernel(rays_ref, instf_ref, insti_ref, supers_ref,
 
             def super_body(s, _):
                 state2 = out_ref[:]
+                bt = tile_best_t(state2)
                 row = sup_base + s
                 shit = slab(
                     ox, oy, oz, ix, iy, iz,
                     supers_ref[row, 0], supers_ref[row, 1],
                     supers_ref[row, 2], supers_ref[row, 3],
-                    supers_ref[row, 4], supers_ref[row, 5],
-                    tile_best_t(state2),
+                    supers_ref[row, 4], supers_ref[row, 5], bt,
                 )
                 scond = jnp.any(shit) & not_done(state2)
 
                 @pl.when(scond)
                 def _():
+                    # vectorized [SUPER, R] slab over the 32 member
+                    # clusters (object space), as in _cluster_kernel
+                    cb = clusters_ref[
+                        pl.ds(cl_base + s * SUPER, SUPER), :
+                    ]                                         # [32, 8]
+                    t0x = (cb[:, 0:1] - ox) * ix
+                    t1x = (cb[:, 3:4] - ox) * ix
+                    t0y = (cb[:, 1:2] - oy) * iy
+                    t1y = (cb[:, 4:5] - oy) * iy
+                    t0z = (cb[:, 2:3] - oz) * iz
+                    t1z = (cb[:, 5:6] - oz) * iz
+                    near = jnp.maximum(
+                        jnp.maximum(
+                            jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)
+                        ),
+                        jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+                    )
+                    far = jnp.minimum(
+                        jnp.minimum(
+                            jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)
+                        ),
+                        jnp.minimum(jnp.maximum(t0z, t1z), bt),
+                    )
+                    hit32 = jnp.max(
+                        (near <= far).astype(jnp.float32), axis=1,
+                        keepdims=True,
+                    )
+                    rowi = jax.lax.broadcasted_iota(jnp.int32, (SUPER, 1), 0)
+                    in_range = (s * SUPER + rowi) < cl_count
+                    cflags_ref[:] = jnp.where(in_range, hit32, 0.0)
                     jax.lax.fori_loop(0, SUPER, cluster_body, s * SUPER)
 
                 return ()
@@ -381,6 +432,7 @@ def run_instanced(rays, instf, insti, supers, clusters, tris, any_hit,
         out_shape=jax.ShapeDtypeStruct((out_rows, rays.shape[1]), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((16, TRI_TILE), jnp.float32),
+            pltpu.VMEM((SUPER, 1), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -418,6 +470,7 @@ def run_clustered(rays, tris, clusters, supers, any_hit, n_tris,
         out_shape=jax.ShapeDtypeStruct((out_rows, rays.shape[1]), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((16, TRI_TILE), jnp.float32),
+            pltpu.VMEM((SUPER, 1), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

@@ -8,6 +8,10 @@ corrupted | recovered strip).
 """
 
 import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
