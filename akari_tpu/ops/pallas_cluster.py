@@ -55,6 +55,9 @@ _BIG = np.float32(T_MAX)
 # supercluster miss; K/32 outer steps keeps the serial walk short even at
 # millions of triangles (1M tris -> 7813 clusters -> 245 outer steps).
 SUPER = 32
+# Superclusters slab-tested per vectorized [SUPER_CHUNK, R] sweep in the
+# flat kernel (one sweep covers 512k triangles).
+SUPER_CHUNK = 128
 
 
 def build_clusters(tri_v0, tri_e1, tri_e2):
@@ -86,7 +89,10 @@ def build_clusters(tri_v0, tri_e1, tri_e2):
 
 
 def build_superclusters(clusters, n_tris):
-    """Host-side: [S, 8] supercluster AABBs over SUPER-sized cluster runs."""
+    """Host-side: [Spad, 8] supercluster AABBs over SUPER-sized cluster
+    runs, padded to a SUPER_CHUNK multiple with never-hit boxes
+    (lo=+big, hi=-big) so the kernel's chunked [128, R] slab sweep needs
+    no range guard."""
     cl = np.asarray(clusters, np.float64)
     k = (n_tris + TRI_TILE - 1) // TRI_TILE  # real cluster count
     s = (k + SUPER - 1) // SUPER
@@ -94,15 +100,18 @@ def build_superclusters(clusters, n_tris):
     hi = np.full((s * SUPER, 3), -np.inf)
     lo[:k] = cl[:k, 0:3]
     hi[:k] = cl[:k, 3:6]
-    out = np.zeros((s, 8), np.float32)
-    out[:, :3] = lo.reshape(s, SUPER, 3).min(axis=1)
-    out[:, 3:6] = hi.reshape(s, SUPER, 3).max(axis=1)
+    spad = ((s + SUPER_CHUNK - 1) // SUPER_CHUNK) * SUPER_CHUNK
+    out = np.zeros((spad, 8), np.float32)
+    out[:, 0:3] = 1e30   # padded rows: inverted box, never hit
+    out[:, 3:6] = -1e30
+    out[:s, :3] = lo.reshape(s, SUPER, 3).min(axis=1)
+    out[:s, 3:6] = hi.reshape(s, SUPER, 3).max(axis=1)
     return out
 
 
 def _cluster_kernel(rays_ref, supers_ref, clusters_ref, tris_hbm, out_ref,
-                    tri_vmem, cflags_ref, sem, *, n_clusters, n_supers,
-                    any_hit):
+                    tri_vmem, cflags_ref, sflags_ref, sem, *, n_clusters,
+                    n_supers, any_hit):
     """Grid: (n_ray_tiles,). tris_hbm stays in HBM; AABB levels + rays in
     VMEM. Per supercluster: slab-test the whole ray tile, descend only on a
     hit; per cluster: slab-test again, DMA + dense MT only on a hit."""
@@ -179,38 +188,40 @@ def _cluster_kernel(rays_ref, supers_ref, clusters_ref, tris_hbm, out_ref,
 
         return base
 
+    def boxes_slab_flags(boxes, best_t):
+        """[B, 8] boxes x the ray tile -> [B, 1] any-ray-hit flags."""
+        t0x = (boxes[:, 0:1] - ox) * ix
+        t1x = (boxes[:, 3:4] - ox) * ix
+        t0y = (boxes[:, 1:2] - oy) * iy
+        t1y = (boxes[:, 4:5] - oy) * iy
+        t0z = (boxes[:, 2:3] - oz) * iz
+        t1z = (boxes[:, 5:6] - oz) * iz
+        near = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+        )
+        far = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.minimum(jnp.maximum(t0z, t1z), best_t),
+        )
+        return jnp.max((near <= far).astype(jnp.float32), axis=1,
+                       keepdims=True)
+
     def super_body(s, _):
-        state = out_ref[:]
-        best_t = tile_best_t(state)
-        box_hit = slab_hit(supers_ref, s, best_t)
-        cond = jnp.any(box_hit) & not_done(state)
+        # per-chunk flags (sflags_ref, super_chunk_body) gate the descent:
+        # one scalar read per supercluster instead of a serial slab.
+        cond = (sflags_ref[s % SUPER_CHUNK, 0] > 0.0) & not_done(out_ref[:])
 
         @pl.when(cond)
         def _():
             # ONE vectorized [SUPER, R] slab test over all 32 member
             # clusters (cluster boxes on sublanes x rays on lanes)
-            # replaces 32 serial [1, R] tests — the serial tests were
-            # the dominant traversal cost on big scenes. best_t is the
-            # super-entry value (slightly stale pruning = extra descents
-            # only, never missed hits; the MT update reprunes exactly).
+            # replaces 32 serial [1, R] tests. best_t is the entry value
+            # (slightly stale pruning = extra descents only, never
+            # missed hits; the MT update reprunes exactly).
+            best_t = tile_best_t(out_ref[:])
             cb = clusters_ref[pl.ds(s * SUPER, SUPER), :]     # [32, 8]
-            t0x = (cb[:, 0:1] - ox) * ix
-            t1x = (cb[:, 3:4] - ox) * ix
-            t0y = (cb[:, 1:2] - oy) * iy
-            t1y = (cb[:, 4:5] - oy) * iy
-            t0z = (cb[:, 2:3] - oz) * iz
-            t1z = (cb[:, 5:6] - oz) * iz
-            near = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                jnp.maximum(jnp.minimum(t0z, t1z), tmin),
-            )
-            far = jnp.minimum(
-                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                jnp.minimum(jnp.maximum(t0z, t1z), best_t),
-            )
-            hit32 = jnp.max(
-                (near <= far).astype(jnp.float32), axis=1, keepdims=True
-            )                                                  # [32, 1]
+            hit32 = boxes_slab_flags(cb, best_t)
             row = jax.lax.broadcasted_iota(jnp.int32, (SUPER, 1), 0)
             in_range = (s * SUPER + row) < n_clusters
             cflags_ref[:] = jnp.where(in_range, hit32, 0.0)
@@ -218,7 +229,25 @@ def _cluster_kernel(rays_ref, supers_ref, clusters_ref, tris_hbm, out_ref,
 
         return ()
 
-    jax.lax.fori_loop(0, n_supers, super_body, ())
+    def super_chunk_body(c, _):
+        # vectorized [SUPER_CHUNK, R] slab over 128 superclusters at once
+        # (padded rows are inverted boxes, never hit); the serial walk
+        # below then only pays a scalar flag read per supercluster.
+        state = out_ref[:]
+        sb = supers_ref[pl.ds(c * SUPER_CHUNK, SUPER_CHUNK), :]
+        flags = boxes_slab_flags(sb, tile_best_t(state))
+        sflags_ref[:] = flags
+
+        @pl.when((jnp.max(flags) > 0.0) & not_done(state))
+        def _():
+            jax.lax.fori_loop(
+                c * SUPER_CHUNK, (c + 1) * SUPER_CHUNK, super_body, ()
+            )
+
+        return ()
+
+    n_chunks = (n_supers + SUPER_CHUNK - 1) // SUPER_CHUNK
+    jax.lax.fori_loop(0, n_chunks, super_chunk_body, ())
 
 
 def _instanced_kernel(rays_ref, instf_ref, insti_ref, supers_ref,
@@ -471,6 +500,7 @@ def run_clustered(rays, tris, clusters, supers, any_hit, n_tris,
         scratch_shapes=[
             pltpu.VMEM((16, TRI_TILE), jnp.float32),
             pltpu.VMEM((SUPER, 1), jnp.float32),
+            pltpu.VMEM((SUPER_CHUNK, 1), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

@@ -199,11 +199,13 @@ def test_cluster_kernel_matches_brute():
     scene_b = compile_scene([mesh], intersector="brute")
     # storage count may exceed n_tri (SBVH duplication); the cluster table
     # is padded to a SUPER multiple (padded rows are index-guarded)
-    from akari_tpu.ops.pallas_cluster import SUPER
+    from akari_tpu.ops.pallas_cluster import SUPER, SUPER_CHUNK
 
     k = (scene_p.n_tris + 127) // 128
     assert scene_p.tri_clusters.shape[0] == ((k + SUPER - 1) // SUPER) * SUPER
-    assert scene_p.tri_superclusters.shape[0] == (k + SUPER - 1) // SUPER
+    s_real = (k + SUPER - 1) // SUPER
+    s_pad = ((s_real + SUPER_CHUNK - 1) // SUPER_CHUNK) * SUPER_CHUNK
+    assert scene_p.tri_superclusters.shape[0] == s_pad
 
     rr = np.random.default_rng(2)
     nr = 256
