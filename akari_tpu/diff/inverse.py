@@ -39,11 +39,14 @@ def scene_params(scene, optimize_images=False, optimize_geometry=False):
     world-space translation, applied to the differentiable geometry uses
     (hit positions via the prim_table gather, NEE light-sample positions,
     geometric normals via e1/e2 — all in integrators/path.py +
-    shading/light.py). Gradients are the **interior** (reparameterized-
-    barycentric, detached-hit) term: visibility/silhouette derivatives are
-    detached by the intersector (ops/intersect.py). Note the acceleration
-    structures are built for the undisplaced geometry — after large
-    accumulated deltas, re-``compile()`` the scene.
+    shading/light.py). Through the render alone, gradients are the
+    **interior** (reparameterized-barycentric, detached-hit) term; the
+    **visibility/silhouette boundary term** is provided separately by
+    ``diff/boundary.py::boundary_direct_term`` (edge-sampled, add its
+    surrogate to the rendered image inside the loss — FD-verified in
+    tests/test_boundary.py). Note the acceleration structures are built
+    for the undisplaced geometry — after large accumulated deltas,
+    re-``compile()`` the scene.
     """
     params = {"tex_value": scene.textures.value}
     if optimize_images:

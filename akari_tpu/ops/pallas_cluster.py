@@ -251,8 +251,8 @@ def _cluster_kernel(rays_ref, supers_ref, clusters_ref, tris_hbm, out_ref,
 
 
 def _instanced_kernel(rays_ref, instf_ref, insti_ref, supers_ref,
-                      clusters_ref, tris_hbm, out_ref, tri_vmem, cflags_ref,
-                      sem, *, n_inst, any_hit):
+                      clusters_ref, tris_hbm, out_ref, tri_vmem, sem,
+                      *, n_inst, any_hit):
     """Two-level instanced ray-stream kernel (the per-prototype Pallas
     BLAS the r3 verdict asked for — ref: two-level traversal,
     kernel/bvh-accelerator.h:551-683, plus the transforms it lacks).
@@ -346,8 +346,20 @@ def _instanced_kernel(rays_ref, instf_ref, insti_ref, supers_ref,
 
             def cluster_body(j, base):
                 k = base + j  # proto-local cluster index
-                # vectorized per-super verdicts (see super_body)
-                ccond = (cflags_ref[j, 0] > 0.0) & not_done(out_ref[:])
+                # NOTE: serial per-cluster slab here by measurement — the
+                # flat kernel's vectorized [32,R] variant needs a
+                # dynamic-start VMEM slice (cl_base is a runtime scalar)
+                # that Mosaic lowers via a slow copy: 2.3x slower overall.
+                state2 = out_ref[:]
+                bt = tile_best_t(state2)
+                row = cl_base + k
+                chit = slab(
+                    ox, oy, oz, ix, iy, iz,
+                    clusters_ref[row, 0], clusters_ref[row, 1],
+                    clusters_ref[row, 2], clusters_ref[row, 3],
+                    clusters_ref[row, 4], clusters_ref[row, 5], bt,
+                )
+                ccond = jnp.any(chit) & (k < cl_count) & not_done(state2)
 
                 @pl.when(ccond)
                 def _():
@@ -392,36 +404,6 @@ def _instanced_kernel(rays_ref, instf_ref, insti_ref, supers_ref,
 
                 @pl.when(scond)
                 def _():
-                    # vectorized [SUPER, R] slab over the 32 member
-                    # clusters (object space), as in _cluster_kernel
-                    cb = clusters_ref[
-                        pl.ds(cl_base + s * SUPER, SUPER), :
-                    ]                                         # [32, 8]
-                    t0x = (cb[:, 0:1] - ox) * ix
-                    t1x = (cb[:, 3:4] - ox) * ix
-                    t0y = (cb[:, 1:2] - oy) * iy
-                    t1y = (cb[:, 4:5] - oy) * iy
-                    t0z = (cb[:, 2:3] - oz) * iz
-                    t1z = (cb[:, 5:6] - oz) * iz
-                    near = jnp.maximum(
-                        jnp.maximum(
-                            jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)
-                        ),
-                        jnp.maximum(jnp.minimum(t0z, t1z), tmin),
-                    )
-                    far = jnp.minimum(
-                        jnp.minimum(
-                            jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)
-                        ),
-                        jnp.minimum(jnp.maximum(t0z, t1z), bt),
-                    )
-                    hit32 = jnp.max(
-                        (near <= far).astype(jnp.float32), axis=1,
-                        keepdims=True,
-                    )
-                    rowi = jax.lax.broadcasted_iota(jnp.int32, (SUPER, 1), 0)
-                    in_range = (s * SUPER + rowi) < cl_count
-                    cflags_ref[:] = jnp.where(in_range, hit32, 0.0)
                     jax.lax.fori_loop(0, SUPER, cluster_body, s * SUPER)
 
                 return ()
@@ -461,7 +443,6 @@ def run_instanced(rays, instf, insti, supers, clusters, tris, any_hit,
         out_shape=jax.ShapeDtypeStruct((out_rows, rays.shape[1]), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((16, TRI_TILE), jnp.float32),
-            pltpu.VMEM((SUPER, 1), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
