@@ -26,6 +26,7 @@ MAT_GLOSSY = 1
 MAT_EMISSIVE = 2
 MAT_MIX = 3
 MAT_MIRROR = 4
+MAT_GLASS = 5
 
 # Texture kinds (ref: Texture variant, kernel/texture.h:57)
 TEX_CONSTANT = 0
@@ -90,6 +91,9 @@ class MaterialTable:
     mix_a: jax.Array         # [M] int32
     mix_b: jax.Array         # [M] int32
     double_sided: jax.Array  # [M] bool
+    # [M] float32 index of refraction (MAT_GLASS); None = all-1.5 default
+    # (kept optional so hand-built tables stay valid).
+    ior: jax.Array = None
     has_mix: bool = False
 
 

@@ -27,6 +27,7 @@ from .arrays import (
     LightTable,
     MAT_DIFFUSE,
     MAT_EMISSIVE,
+    MAT_GLASS,
     MAT_GLOSSY,
     MAT_MIRROR,
     MAT_MIX,
@@ -98,6 +99,17 @@ class MirrorMaterial:
     no specular BSDF (kernel/material.h has Diffuse+Microfacet only)."""
 
     color: object = (0.9, 0.9, 0.9)
+
+
+@dataclass
+class GlassMaterial:
+    """Smooth dielectric (delta reflect + refract, Fresnel-weighted).
+    Completes the reference's declared-but-unused dielectric surface
+    (ref: kernel/bsdf-funcs.h fr_dielectric/refract are defined yet no
+    closure consumes them)."""
+
+    color: object = (1.0, 1.0, 1.0)
+    ior: float = 1.5
 
 
 @dataclass
@@ -288,6 +300,7 @@ def _compile_textures_materials(materials):
     mix_a = np.zeros(M, np.int32)
     mix_b = np.zeros(M, np.int32)
     double_sided = np.zeros(M, bool)
+    ior = np.full(M, 1.5, np.float32)
 
     for i, m in enumerate(list(mats.items)):
         if isinstance(m, DiffuseMaterial):
@@ -304,6 +317,10 @@ def _compile_textures_materials(materials):
         elif isinstance(m, MirrorMaterial):
             kind[i] = MAT_MIRROR
             color_tex[i] = tex_id(m.color)
+        elif isinstance(m, GlassMaterial):
+            kind[i] = MAT_GLASS
+            color_tex[i] = tex_id(m.color)
+            ior[i] = float(m.ior)
         elif isinstance(m, MixMaterial):
             kind[i] = MAT_MIX
             fraction_tex[i] = tex_id(m.fraction)
@@ -341,7 +358,7 @@ def _compile_textures_materials(materials):
     mat_table = MaterialTable(
         kind=kind, color_tex=color_tex, roughness_tex=roughness_tex,
         fraction_tex=fraction_tex, mix_a=mix_a, mix_b=mix_b,
-        double_sided=double_sided,
+        double_sided=double_sided, ior=ior,
         has_mix=bool((kind == MAT_MIX).any()),
     )
     tex_table = TextureTable(

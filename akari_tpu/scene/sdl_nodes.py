@@ -23,6 +23,7 @@ from .nodes import (
     GlossyMaterial,
     ImageTexture,
     EnvMapLight,
+    GlassMaterial,
     Mesh,
     MirrorMaterial,
     MixMaterial,
@@ -92,6 +93,14 @@ def _emissive(fields, base_dir="."):
 @register_node("MirrorMaterial")
 def _mirror(fields, base_dir="."):
     return MirrorMaterial(color=_texture(fields.get("color", 0.9), base_dir))
+
+
+@register_node("GlassMaterial")
+def _glass(fields, base_dir="."):
+    return GlassMaterial(
+        color=_texture(fields.get("color", [1.0, 1.0, 1.0]), base_dir),
+        ior=float(fields.get("ior", 1.5)),
+    )
 
 
 @register_node("MixMaterial")

@@ -36,6 +36,7 @@ CLOSURE_NULL = -1
 CLOSURE_DIFFUSE = 0
 CLOSURE_MICROFACET = 1
 CLOSURE_SPECULAR = 2  # perfect mirror (delta)
+CLOSURE_GLASS = 3     # smooth dielectric (delta reflect + refract)
 
 INV_PI = 1.0 / np.pi
 
@@ -113,6 +114,42 @@ def _micro_sample(color, dist, alpha, wo, u):
     return wi, f, pdf
 
 
+def _glass_sample(color, ior, wo, u1):
+    """Smooth dielectric: Fresnel-weighted choice between delta
+    reflection and delta refraction (with the (1/eta)^2 radiance scale;
+    TIR reflects). Local Z-up frame; handles rays from either side.
+    ref: kernel/bsdf-funcs.h fr_dielectric/refract (declared, unused)."""
+    xp = _xp(wo)
+    cos_i = cos_theta(wo)
+    entering = cos_i > 0.0
+    eta = xp.where(entering, 1.0 / ior, ior)  # eta_i / eta_t
+    fr = fresnel_dielectric(cos_i, xp.ones_like(ior), ior)
+    # refraction about the +side normal
+    nz = xp.where(entering, 1.0, -1.0)
+    ci = xp.abs(cos_i)
+    sin2_t = eta * eta * xp.maximum(0.0, 1.0 - ci * ci)
+    tir = sin2_t >= 1.0
+    cos_t = xp.sqrt(xp.maximum(0.0, 1.0 - sin2_t))
+    # wt = -eta*wo + (eta*ci - cos_t) * n  (n = (0,0,nz))
+    wt = xp.stack([
+        -eta * wo[..., 0],
+        -eta * wo[..., 1],
+        -eta * wo[..., 2] + (eta * ci - cos_t) * nz,
+    ], axis=-1)
+    wr = wo * xp.asarray([-1.0, -1.0, 1.0], xp.float32)
+    reflect_p = xp.where(tir, 1.0, fr)
+    pick_r = (u1 < reflect_p) | tir
+    wi = xp.where(pick_r[..., None], wr, wt)
+    cos_o = xp.maximum(abs_cos_theta(wi), 1e-6)
+    # f/pdf carry the lobe probability, so throughput f*cos/pdf is exact
+    w_refl = DELTA_PDF * reflect_p / cos_o
+    w_refr = DELTA_PDF * (1.0 - reflect_p) * (eta * eta) / cos_o
+    f = color * xp.where(pick_r, w_refl, w_refr)[..., None]
+    pdf = DELTA_PDF * xp.where(pick_r, reflect_p, 1.0 - reflect_p)
+    pdf = xp.maximum(pdf, 1e-12)
+    return wi, f, pdf
+
+
 def _specular_sample(color, wo):
     """Perfect mirror: delta reflection about the shading normal."""
     xp = _xp(wo)
@@ -133,7 +170,11 @@ def eval_local(params, wo, wi):
     is_mf = (params["kind"] == CLOSURE_MICROFACET)[..., None]
     f = xp.where(is_mf, fm, fd)
     # delta closures evaluate to zero for any sampled direction
-    zero = (params["kind"] == CLOSURE_NULL) | (params["kind"] == CLOSURE_SPECULAR)
+    zero = (
+        (params["kind"] == CLOSURE_NULL)
+        | (params["kind"] == CLOSURE_SPECULAR)
+        | (params["kind"] == CLOSURE_GLASS)
+    )
     return xp.where(zero[..., None], 0.0, f)
 
 
@@ -142,7 +183,11 @@ def pdf_local(params, wo, wi):
     pd = _diffuse_pdf(wo, wi)
     pm = _micro_pdf(params["dist"], params["alpha"], wo, wi)
     pdf = xp.where(params["kind"] == CLOSURE_MICROFACET, pm, pd)
-    zero = (params["kind"] == CLOSURE_NULL) | (params["kind"] == CLOSURE_SPECULAR)
+    zero = (
+        (params["kind"] == CLOSURE_NULL)
+        | (params["kind"] == CLOSURE_SPECULAR)
+        | (params["kind"] == CLOSURE_GLASS)
+    )
     pdf = xp.where(zero, 0.0, pdf)
     return pdf * params["choice_pdf"]
 
@@ -154,11 +199,19 @@ def sample_local(params, wo, u):
         params["color"], params["dist"], params["alpha"], wo, u
     )
     wi_s, f_s, p_s = _specular_sample(params["color"], wo)
+    ior = params.get("ior", 1.5)
+    if not hasattr(ior, "shape"):
+        ior = xp.full(wo.shape[:-1], ior, xp.float32)
+    wi_g, f_g, p_g = _glass_sample(params["color"], ior, wo, u[..., 0])
     is_mf = params["kind"] == CLOSURE_MICROFACET
     is_sp = params["kind"] == CLOSURE_SPECULAR
+    is_gl = params["kind"] == CLOSURE_GLASS
     wi = xp.where(is_sp[..., None], wi_s, xp.where(is_mf[..., None], wi_m, wi_d))
     f = xp.where(is_sp[..., None], f_s, xp.where(is_mf[..., None], f_m, f_d))
     pdf = xp.where(is_sp, p_s, xp.where(is_mf, p_m, p_d))
+    wi = xp.where(is_gl[..., None], wi_g, wi)
+    f = xp.where(is_gl[..., None], f_g, f)
+    pdf = xp.where(is_gl, p_g, pdf)
     null = params["kind"] == CLOSURE_NULL
     f = xp.where(null[..., None], 0.0, f)
     pdf = xp.where(null, 0.0, pdf) * params["choice_pdf"]

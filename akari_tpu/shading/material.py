@@ -14,6 +14,7 @@ from ..core.vecmath import _xp
 from ..scene.arrays import (
     MAT_DIFFUSE,
     MAT_EMISSIVE,
+    MAT_GLASS,
     MAT_GLOSSY,
     MAT_MIRROR,
     MAT_MIX,
@@ -23,6 +24,7 @@ from . import microfacet as mf
 from . import texture as tex
 from .bsdf import (
     CLOSURE_DIFFUSE,
+    CLOSURE_GLASS,
     CLOSURE_MICROFACET,
     CLOSURE_NULL,
     CLOSURE_SPECULAR,
@@ -39,7 +41,8 @@ def _resolved_closure_table(materials, textures, xp):
     make params uv-dependent; those scenes take the general path).
 
     Columns: closure_kind(0) color(1:4) alpha(4) emission(5:8)
-    double_sided(8) frac(9) mix_a(10) mix_b(11) is_mix(12) pad(13:16).
+    double_sided(8) frac(9) mix_a(10) mix_b(11) is_mix(12) ior(13)
+    pad(14:16).
     """
     kind = materials.kind
     color = xp.take(textures.value, materials.color_tex, axis=0)  # [M,3]
@@ -54,12 +57,20 @@ def _resolved_closure_table(materials, textures, xp):
         xp.where(
             kind == MAT_GLOSSY,
             CLOSURE_MICROFACET,
-            xp.where(kind == MAT_MIRROR, CLOSURE_SPECULAR, CLOSURE_NULL),
+            xp.where(
+                kind == MAT_MIRROR,
+                CLOSURE_SPECULAR,
+                xp.where(kind == MAT_GLASS, CLOSURE_GLASS, CLOSURE_NULL),
+            ),
         ),
     )
     emission_rgb = xp.where((kind == MAT_EMISSIVE)[:, None], color, 0.0)
     m = kind.shape[0]
     f32 = xp.float32
+    ior = (
+        xp.asarray(materials.ior, f32) if materials.ior is not None
+        else xp.full((m,), 1.5, f32)
+    )
     cols = [
         closure_kind.astype(f32)[:, None],
         color.astype(f32),
@@ -70,7 +81,8 @@ def _resolved_closure_table(materials, textures, xp):
         materials.mix_a.astype(f32)[:, None],
         materials.mix_b.astype(f32)[:, None],
         (kind == MAT_MIX).astype(f32)[:, None],
-        xp.zeros((m, 3), f32),
+        ior[:, None],
+        xp.zeros((m, 2), f32),
     ]
     return xp.concatenate(cols, axis=1)
 
@@ -145,6 +157,7 @@ def closure_params(materials, textures, leaf_id, choice_pdf, uv):
             "color": fat[..., 1:4],
             "alpha": fat[..., 4],
             "dist": xp.full(leaf_id.shape, mf.GGX, xp.int32),
+            "ior": fat[..., 13],
             "choice_pdf": choice_pdf,
         }
     kind = xp.take(materials.kind, leaf_id)
@@ -159,14 +172,24 @@ def closure_params(materials, textures, leaf_id, choice_pdf, uv):
         xp.where(
             kind == MAT_GLOSSY,
             CLOSURE_MICROFACET,
-            xp.where(kind == MAT_MIRROR, CLOSURE_SPECULAR, CLOSURE_NULL),
+            xp.where(
+                kind == MAT_MIRROR,
+                CLOSURE_SPECULAR,
+                xp.where(kind == MAT_GLASS, CLOSURE_GLASS, CLOSURE_NULL),
+            ),
         ),
+    )
+    ior_t = (
+        xp.take(xp.asarray(materials.ior), leaf_id)
+        if materials.ior is not None
+        else xp.full(leaf_id.shape, 1.5, xp.float32)
     )
     return {
         "kind": closure_kind,
         "color": color,
         "alpha": alpha,
         "dist": xp.full_like(closure_kind, mf.GGX),
+        "ior": ior_t,
         "choice_pdf": choice_pdf,
     }
 

@@ -25,6 +25,7 @@ from ..core.v3 import V3, from_rows, onb3, reflect3, to_local3, to_world3, v3whe
 from ..scene.arrays import (
     MAT_DIFFUSE,
     MAT_EMISSIVE,
+    MAT_GLASS,
     MAT_GLOSSY,
     MAT_MIRROR,
     MAT_MIX,
@@ -33,6 +34,7 @@ from ..scene.arrays import (
 from . import microfacet as mf
 from .bsdf import (
     CLOSURE_DIFFUSE,
+    CLOSURE_GLASS,
     CLOSURE_MICROFACET,
     CLOSURE_NULL,
     CLOSURE_SPECULAR,
@@ -225,13 +227,49 @@ def _specular_sample(color, wo):
     return wi, f, pdf
 
 
+def _glass_sample(color, ior, wo, u1):
+    """Smooth dielectric: Fresnel-weighted delta reflection / refraction
+    with the (1/eta)^2 radiance scale; TIR reflects. Same math as the AoS
+    bsdf._glass_sample (ref: bsdf-funcs.h fr_dielectric/refract — declared
+    there, consumed by no reference closure)."""
+    from .bsdf import fresnel_dielectric
+
+    xp = _xp(wo.z)
+    cos_i = wo.z
+    entering = cos_i > 0.0
+    eta = xp.where(entering, 1.0 / ior, ior)
+    fr = fresnel_dielectric(cos_i, xp.ones_like(ior), ior)
+    nz = xp.where(entering, 1.0, -1.0)
+    ci = xp.abs(cos_i)
+    sin2_t = eta * eta * xp.maximum(0.0, 1.0 - ci * ci)
+    tir = sin2_t >= 1.0
+    cos_t = xp.sqrt(xp.maximum(0.0, 1.0 - sin2_t))
+    wt = V3(-eta * wo.x, -eta * wo.y, -eta * wo.z + (eta * ci - cos_t) * nz)
+    wr = V3(-wo.x, -wo.y, wo.z)
+    reflect_p = xp.where(tir, 1.0, fr)
+    pick_r = (u1 < reflect_p) | tir
+    wi = v3where(pick_r, wr, wt)
+    cos_o = xp.maximum(xp.abs(wi.z), 1e-6)
+    w_refl = DELTA_PDF * reflect_p / cos_o
+    w_refr = DELTA_PDF * (1.0 - reflect_p) * (eta * eta) / cos_o
+    f = color * xp.where(pick_r, w_refl, w_refr)
+    pdf = xp.maximum(
+        DELTA_PDF * xp.where(pick_r, reflect_p, 1.0 - reflect_p), 1e-12
+    )
+    return wi, f, pdf
+
+
 # ------------------------------ dispatch ----------------------------------
 
 def eval_local(params, wo, wi):
     fd = _diffuse_eval(params["color"], wo, wi)
     fm = _micro_eval(params["color"], params["dist"], params["alpha"], wo, wi)
     f = v3where(params["kind"] == CLOSURE_MICROFACET, fm, fd)
-    zero = (params["kind"] == CLOSURE_NULL) | (params["kind"] == CLOSURE_SPECULAR)
+    zero = (
+        (params["kind"] == CLOSURE_NULL)
+        | (params["kind"] == CLOSURE_SPECULAR)
+        | (params["kind"] == CLOSURE_GLASS)
+    )
     return v3where(zero, 0.0, f)
 
 
@@ -240,7 +278,11 @@ def pdf_local(params, wo, wi):
     pd = _diffuse_pdf(wo, wi)
     pm = _micro_pdf(params["dist"], params["alpha"], wo, wi)
     pdf = xp.where(params["kind"] == CLOSURE_MICROFACET, pm, pd)
-    zero = (params["kind"] == CLOSURE_NULL) | (params["kind"] == CLOSURE_SPECULAR)
+    zero = (
+        (params["kind"] == CLOSURE_NULL)
+        | (params["kind"] == CLOSURE_SPECULAR)
+        | (params["kind"] == CLOSURE_GLASS)
+    )
     return xp.where(zero, 0.0, pdf) * params["choice_pdf"]
 
 
@@ -251,11 +293,19 @@ def sample_local(params, wo, u1, u2):
         params["color"], params["dist"], params["alpha"], wo, u1, u2
     )
     wi_s, f_s, p_s = _specular_sample(params["color"], wo)
+    ior = params.get("ior")
+    if ior is None:
+        ior = xp.full(wo.z.shape, 1.5, xp.float32)
+    wi_g, f_g, p_g = _glass_sample(params["color"], ior, wo, u1)
     is_mf = params["kind"] == CLOSURE_MICROFACET
     is_sp = params["kind"] == CLOSURE_SPECULAR
+    is_gl = params["kind"] == CLOSURE_GLASS
     wi = v3where(is_sp, wi_s, v3where(is_mf, wi_m, wi_d))
     f = v3where(is_sp, f_s, v3where(is_mf, f_m, f_d))
     pdf = xp.where(is_sp, p_s, xp.where(is_mf, p_m, p_d))
+    wi = v3where(is_gl, wi_g, wi)
+    f = v3where(is_gl, f_g, f)
+    pdf = xp.where(is_gl, p_g, pdf)
     null = params["kind"] == CLOSURE_NULL
     f = v3where(null, 0.0, f)
     pdf = xp.where(null, 0.0, pdf) * params["choice_pdf"]
@@ -349,6 +399,7 @@ def closure_params(materials, textures, leaf_id, choice_pdf, uv_u, uv_v):
             "color": from_rows(fat, 1),
             "alpha": fat[4],
             "dist": xp.full(leaf_id.shape, mf.GGX, xp.int32),
+            "ior": fat[13],
             "choice_pdf": choice_pdf,
         }
     from . import texture as tex
@@ -366,14 +417,24 @@ def closure_params(materials, textures, leaf_id, choice_pdf, uv_u, uv_v):
         xp.where(
             kind == MAT_GLOSSY,
             CLOSURE_MICROFACET,
-            xp.where(kind == MAT_MIRROR, CLOSURE_SPECULAR, CLOSURE_NULL),
+            xp.where(
+                kind == MAT_MIRROR,
+                CLOSURE_SPECULAR,
+                xp.where(kind == MAT_GLASS, CLOSURE_GLASS, CLOSURE_NULL),
+            ),
         ),
+    )
+    ior_t = (
+        xp.take(xp.asarray(materials.ior), leaf_id)
+        if materials.ior is not None
+        else xp.full(leaf_id.shape, 1.5, xp.float32)
     )
     return {
         "kind": closure_kind,
         "color": V3(color[..., 0], color[..., 1], color[..., 2]),
         "alpha": alpha,
         "dist": xp.full_like(closure_kind, mf.GGX),
+        "ior": ior_t,
         "choice_pdf": choice_pdf,
     }
 
