@@ -27,8 +27,10 @@ def _mat_to_sdl(name, mat, outdir="."):
         ConstantTexture,
         DiffuseMaterial,
         EmissiveMaterial,
+        GlassMaterial,
         GlossyMaterial,
         ImageTexture,
+        MirrorMaterial,
         MixMaterial,
     )
 
@@ -58,6 +60,13 @@ def _mat_to_sdl(name, mat, outdir="."):
             f"export {name} = MixMaterial {{\n  fraction: {tex(mat.fraction)},\n"
             f"  material_A: ${name}_A,\n  material_B: ${name}_B\n}}"
         )
+    elif isinstance(mat, GlassMaterial):
+        body = (
+            f"GlassMaterial {{\n  color : {tex(mat.color)},\n"
+            f"  ior: {mat.ior:g}\n}}"
+        )
+    elif isinstance(mat, MirrorMaterial):
+        body = f"MirrorMaterial {{\n  color : {tex(mat.color)}\n}}"
     else:
         body = f"DiffuseMaterial {{\n  color : {tex(mat.color)}\n}}"
     return f"export {name} = {body}"

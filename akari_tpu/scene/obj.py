@@ -17,6 +17,7 @@ from .nodes import (
     ConstantTexture,
     DiffuseMaterial,
     EmissiveMaterial,
+    GlassMaterial,
     GlossyMaterial,
     ImageTexture,
     Mesh,
@@ -40,6 +41,10 @@ def _parse_mtl(path):
 
         if np.any(ke > 0.0):
             return EmissiveMaterial(color=tuple(ke))
+        # transparent illumination models -> dielectric glass (extension
+        # past the reference importer, which has no glass material)
+        if int(m.get("illum", 2)) in (4, 6, 7):
+            return GlassMaterial(ior=float(m.get("Ni", 1.5)))
         color = ImageTexture.load(map_kd) if map_kd else tuple(kd)
         diffuse = DiffuseMaterial(color=color)
         strength = float(ks.max())
@@ -67,8 +72,10 @@ def _parse_mtl(path):
                 raw[cur] = {}
             elif cur is not None and key in ("Kd", "Ks", "Ke", "Ka"):
                 raw[cur][key] = tuple(float(x) for x in parts[1:4])
-            elif cur is not None and key == "Ns":
+            elif cur is not None and key in ("Ns", "Ni"):
                 raw[cur][key] = float(parts[1])
+            elif cur is not None and key == "illum":
+                raw[cur][key] = int(float(parts[1]))
             elif cur is not None and key == "map_Kd":
                 raw[cur][key] = os.path.join(base, parts[-1])
     for name, m in raw.items():

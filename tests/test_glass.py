@@ -148,3 +148,28 @@ def test_glass_sdl_node(tmp_path):
     module = sdl.parse_file(str(f))
     m = module.exports["mat"]
     assert abs(m.ior - 1.33) < 1e-6
+
+
+def test_glass_mtl_import(tmp_path):
+    """MTL illum 4/6/7 + Ni translate to GlassMaterial through the
+    importer round trip (extension past the reference importer)."""
+    from akari_tpu.scene.obj import load_obj
+
+    (tmp_path / "m.mtl").write_text(
+        "newmtl win\nKd 1 1 1\nNi 1.45\nillum 7\n"
+        "newmtl wall\nKd 0.5 0.5 0.5\nillum 2\n"
+    )
+    (tmp_path / "m.obj").write_text(
+        "mtllib m.mtl\nv 0 0 0\nv 1 0 0\nv 0 1 0\n"
+        "usemtl win\nf 1 2 3\nusemtl wall\nf 3 2 1\n"
+    )
+    mesh = load_obj(str(tmp_path / "m.obj"))
+    kinds = {type(m).__name__ for m in mesh.materials}
+    assert "GlassMaterial" in kinds and "DiffuseMaterial" in kinds
+    g = [m for m in mesh.materials if type(m).__name__ == "GlassMaterial"][0]
+    assert abs(g.ior - 1.45) < 1e-6
+
+    from akari_tpu.cli.importer import _mat_to_sdl
+
+    sdl_txt = _mat_to_sdl("win", g, str(tmp_path))
+    assert "GlassMaterial" in sdl_txt and "1.45" in sdl_txt
