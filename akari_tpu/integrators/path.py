@@ -414,8 +414,19 @@ def _bounce_step(scene, cfg, seed, sample_idx, pixel_idx, state, bounce,
     d = wi
 
     # ---- shadow + next extension rays (one fused launch if possible) ----
+    # Inactive lanes get t_max = 0 ("dead rays"): their results are
+    # masked out below anyway, and the Pallas tree walk culls them from
+    # every slab test + sorts them into tail tiles that terminate at the
+    # root — on open scenes most lanes are dead by bounce 2-3, so this
+    # is the difference between paying full traversal for garbage and
+    # paying nothing.
+    from ..ops.intersect import T_MAX
+
+    ext_tmax = xp.where(ok, xp.float32(T_MAX), xp.float32(0.0))
+    if do_nee:
+        shadow_tmax = xp.where(useful, shadow_tmax, xp.float32(0.0))
     if do_nee and fused_fn is not None:
-        occluded, hit = fused_fn(shadow_o, ls.wi, shadow_tmax, o, d)
+        occluded, hit = fused_fn(shadow_o, ls.wi, shadow_tmax, o, d, ext_tmax)
     else:
         if do_nee:
             occluded = occlude_fn(
@@ -459,13 +470,15 @@ def _jax_intersectors_soa(scene):
         # One dense launch answers N shadow rays + N extension rays: the
         # ray-stream kernel has no any-hit early-out to lose, so merging
         # halves the number of launches per bounce.
-        def fused_fn(shadow_o, shadow_d, shadow_tmax, o2, d2):
+        def fused_fn(shadow_o, shadow_d, shadow_tmax, o2, d2, ext_tmax=None):
             n = o2.x.shape[0]
             cat = jnp.concatenate
             o = V3(*(cat([a, b]) for a, b in zip(shadow_o, o2)))
             d = V3(*(cat([a, b]) for a, b in zip(shadow_d, d2)))
-            t_max = cat([shadow_tmax, jnp.full((n,), T_MAX, jnp.float32)])
-            h = intersect_soa(scene, o, d, t_max=t_max)
+            if ext_tmax is None:
+                ext_tmax = jnp.full((n,), T_MAX, jnp.float32)
+            t_max = cat([shadow_tmax, ext_tmax])
+            h = intersect_soa(scene, o, d, t_max=t_max, hint="secondary")
             occluded = h.valid[:n]
             hit = (h.t[n:], h.prim[n:], h.u[n:], h.v[n:], h.valid[n:])
             return occluded, hit
@@ -489,13 +502,13 @@ def _jax_intersectors(scene):
 
     fused_fn = None
     if scene.intersector == "pallas" and scene.instances is None:
-        def fused_fn(shadow_o, shadow_d, shadow_tmax, o2, d2):
+        def fused_fn(shadow_o, shadow_d, shadow_tmax, o2, d2, ext_tmax=None):
             n = o2.shape[0]
             o = jnp.concatenate([shadow_o, o2], axis=0)
             d = jnp.concatenate([shadow_d, d2], axis=0)
-            t_max = jnp.concatenate(
-                [shadow_tmax, jnp.full((n,), T_MAX, jnp.float32)]
-            )
+            if ext_tmax is None:
+                ext_tmax = jnp.full((n,), T_MAX, jnp.float32)
+            t_max = jnp.concatenate([shadow_tmax, ext_tmax])
             h = intersect(scene, o, d, t_max=t_max)
             occluded = h.valid[:n]
             hit = (h.t[n:], h.prim[n:], h.uv[n:], h.valid[n:])

@@ -205,14 +205,14 @@ class HitSoA(NamedTuple):
     valid: jax.Array  # [N] bool
 
 
-def _soa_impl(scene, o3, d3, t_min, t_max, any_hit):
+def _soa_impl(scene, o3, d3, t_min, t_max, any_hit, hint="primary"):
     if scene.intersector == "pallas" and (
         scene.instances is None or scene.inst_pallas_f32 is not None
     ):
         from . import pallas_intersect
 
         return pallas_intersect.intersect_pallas_soa(
-            scene, o3, d3, t_min, t_max, any_hit
+            scene, o3, d3, t_min, t_max, any_hit, hint=hint
         )
     o = jnp.stack(jnp.broadcast_arrays(o3.x, o3.y, o3.z), axis=-1)
     d = jnp.stack(jnp.broadcast_arrays(d3.x, d3.y, d3.z), axis=-1)
@@ -222,8 +222,12 @@ def _soa_impl(scene, o3, d3, t_min, t_max, any_hit):
     return res.t, res.prim, res.uv[..., 0], res.uv[..., 1], res.valid
 
 
-def intersect_soa(scene, o3, d3, t_min=None, t_max=None):
-    """Closest-hit query on V3 rays -> HitSoA. Gradients detached."""
+def intersect_soa(scene, o3, d3, t_min=None, t_max=None, hint="primary"):
+    """Closest-hit query on V3 rays -> HitSoA. Gradients detached.
+
+    ``hint`` ("primary" | "secondary") tells the Pallas backend which
+    coherence-sort key fits this ray population (see
+    pallas_intersect._sort_keys_soa); it never affects results."""
     n = o3.x.shape[0]
     t_min = (
         jnp.zeros((n,), jnp.float32) if t_min is None
@@ -237,10 +241,12 @@ def intersect_soa(scene, o3, d3, t_min=None, t_max=None):
     scene = jax.tree_util.tree_map(sg, scene)
     o3 = jax.tree_util.tree_map(sg, o3)
     d3 = jax.tree_util.tree_map(sg, d3)
-    return HitSoA(*_soa_impl(scene, o3, d3, sg(t_min), sg(t_max), False))
+    return HitSoA(
+        *_soa_impl(scene, o3, d3, sg(t_min), sg(t_max), False, hint=hint)
+    )
 
 
-def occlude_soa(scene, o3, d3, t_min, t_max):
+def occlude_soa(scene, o3, d3, t_min, t_max, hint="secondary"):
     """Any-hit query on V3 rays -> [N] bool occluded."""
     n = o3.x.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
@@ -249,4 +255,4 @@ def occlude_soa(scene, o3, d3, t_min, t_max):
     scene = jax.tree_util.tree_map(sg, scene)
     o3 = jax.tree_util.tree_map(sg, o3)
     d3 = jax.tree_util.tree_map(sg, d3)
-    return _soa_impl(scene, o3, d3, t_min, t_max, True)
+    return _soa_impl(scene, o3, d3, t_min, t_max, True, hint=hint)

@@ -248,30 +248,63 @@ def _run(rays, tris, any_hit, interpret=False, ray_tile=RAY_TILE,
 DENSE_MAX_TRIS = 4096
 
 
-def _sort_keys_soa(o, d, lo, hi, xp=jnp):
-    """Coherence sort key per ray: direction octant (major) + 6-bit/axis
-    Morton code of the origin (minor).
+def _sort_keys_soa(o, d, lo, hi, xp=jnp, t_min=None, t_max=None,
+                   hint="primary"):
+    """Coherence sort key per ray:
+    direction octant (3b, major) | direction Morton | origin Morton.
 
-    The cluster-skip kernel culls at (ray tile x AABB) granularity, so its
-    cost is driven by how many AABBs *any* ray of a tile enters. Wavefront
-    ray batches interleave pixels/samples/bounces, so consecutive rays are
-    incoherent by construction; grouping by direction octant + origin cell
-    restores the locality the tile test needs (the classic ray-stream
-    reordering, cf. CPU SIMD ray-stream tracers)."""
+    The tile kernels cull at (ray tile x AABB) granularity, so their cost
+    is driven by how many AABBs *any* ray of a tile enters; the sort is
+    what makes tiles compact. The bit split adapts to the ray population
+    (measured on the 522k-tri terrain, r5):
+
+    - ``primary`` (camera rays: ONE shared origin): 4 dir bits/axis over
+      5 origin bits/axis. The r4 origin-only key made "sorted" primary
+      tiles image-row strips with enormous frusta (440 pops / 136 leaf
+      visits per tile vs 190/56 with direction bits - 3.5x faster
+      closest-hit stage).
+    - ``secondary`` (bounce/shadow rays: origins spread over the scene):
+      1 dir bit/axis over 8 origin bits/axis. A hemisphere of directions
+      from one origin cell touches few leaves near the cell, so origin
+      locality dominates (185 -> 60 ms on a hemisphere-ray closest
+      stage vs the primary split). The octant stays major either way:
+      the tree walk orders children by the TILE octant, and
+      mixed-octant tiles mis-order near/far and lose best-t pruning
+      (origin-major keys measured 2x slower than octant-major).
+
+    DEAD rays (t_max <= t_min - the wavefront inactive lanes) get the
+    maximal key so they concentrate in tail tiles, which the tree walk
+    terminates at the root (their best_t <= tmin fails every slab)."""
+    dbits, obits = (1, 8) if hint == "secondary" else (4, 5)
     ext = xp.maximum(hi - lo, 1e-6)
     m = xp.zeros(o.x.shape, xp.uint32)
     for a, (oc, loc, extc) in enumerate(
         [(o.x, lo[0], ext[0]), (o.y, lo[1], ext[1]), (o.z, lo[2], ext[2])]
     ):
-        q = (xp.clip((oc - loc) / extc, 0.0, 1.0) * 63.0).astype(xp.uint32)
-        for b in range(6):
+        q = (
+            xp.clip((oc - loc) / extc, 0.0, 1.0) * (2.0 ** obits - 1.0)
+        ).astype(xp.uint32)
+        for b in range(obits):
             m = m | (((q >> b) & 1) << (3 * b + a))
+    dm = xp.zeros(o.x.shape, xp.uint32)
+    for a, dc in enumerate([d.x, d.y, d.z]):
+        q = (
+            xp.clip(xp.abs(dc), 0.0, 0.99999) * (2.0 ** dbits - 1.0)
+        ).astype(xp.uint32)
+        for b in range(dbits):
+            dm = dm | (((q >> b) & 1) << (3 * b + a))
     octant = (
         (d.x < 0).astype(xp.uint32)
         | ((d.y < 0).astype(xp.uint32) << 1)
         | ((d.z < 0).astype(xp.uint32) << 2)
     )
-    return (octant << 18) | m
+    key = (octant << (3 * (dbits + obits))) | (dm << (3 * obits)) | m
+    if t_min is not None and t_max is not None:
+        key = xp.where(
+            xp.asarray(t_max) <= xp.asarray(t_min),
+            xp.uint32(0xFFFFFFFF), key,
+        )
+    return key
 
 
 def _unpack_closest(out):
@@ -282,7 +315,8 @@ def _unpack_closest(out):
     return jnp.where(valid, t, _BIG), prim, u, v, valid
 
 
-def intersect_pallas_instanced(scene, o, d, t_min, t_max, any_hit=False):
+def intersect_pallas_instanced(scene, o, d, t_min, t_max, any_hit=False,
+                               hint="primary"):
     """Two-level instanced ray-stream entry (per-prototype Pallas BLAS,
     ops/pallas_cluster.run_instanced). Same signature/results as
     intersect_pallas_soa; hits carry VIRTUAL prim ids."""
@@ -291,7 +325,9 @@ def intersect_pallas_instanced(scene, o, d, t_min, t_max, any_hit=False):
     instf = jnp.asarray(scene.inst_pallas_f32)
     lo = jnp.min(instf[:, 0:3], axis=0)
     hi = jnp.max(instf[:, 3:6], axis=0)
-    order = jnp.argsort(_sort_keys_soa(o, d, lo, hi))
+    order = jnp.argsort(
+        _sort_keys_soa(o, d, lo, hi, t_min=t_min, t_max=t_max, hint=hint)
+    )
     take = lambda a: jnp.take(a, order)
     o_s = V3(take(o.x), take(o.y), take(o.z))
     d_s = V3(take(d.x), take(d.y), take(d.z))
@@ -312,50 +348,70 @@ def intersect_pallas_instanced(scene, o, d, t_min, t_max, any_hit=False):
     return _unpack_closest(out)
 
 
-def intersect_pallas_soa(scene, o, d, t_min, t_max, any_hit=False):
+def intersect_pallas_soa(scene, o, d, t_min, t_max, any_hit=False,
+                         hint="primary"):
     """Component-SoA entry: V3 o/d, [N] t_min/t_max.
 
     Returns ``occluded [N] bool`` (any_hit) or ``(t, prim, u, v, valid)``
     all [N].
     """
     if scene.instances is not None:
-        return intersect_pallas_instanced(scene, o, d, t_min, t_max, any_hit)
+        return intersect_pallas_instanced(
+            scene, o, d, t_min, t_max, any_hit, hint=hint
+        )
     # Small scenes: shrink the tri tile to the 8-sublane roundup of the
     # real count — a 36-tri Cornell tests 40 padded tris per block
     # instead of 128 (3.2x less wasted MT work per grid step).
     n_tris = int(scene.tri_v0.shape[0])
     tri_tile = TRI_TILE if n_tris > 512 else max(8, -(-n_tris // 8) * 8)
-    tris = pack_tris(
-        scene.tri_v0, scene.tri_e1, scene.tri_e2, tri_tile=tri_tile
-    )
     if (
         scene.tri_v0.shape[0] > DENSE_MAX_TRIS
         and scene.tri_clusters is not None
         and scene.tri_superclusters is not None
     ):
-        from .pallas_cluster import run_clustered
-
-        tris = pack_tris_t(scene.tri_v0, scene.tri_e1, scene.tri_e2)
-
         supers = jnp.asarray(scene.tri_superclusters)
         # coherence sort so each 512-ray tile spans few cluster AABBs
         lo = jnp.min(supers[:, 0:3], axis=0)
         hi = jnp.max(supers[:, 3:6], axis=0)
-        order = jnp.argsort(_sort_keys_soa(o, d, lo, hi))
+        order = jnp.argsort(
+            _sort_keys_soa(o, d, lo, hi, t_min=t_min, t_max=t_max, hint=hint)
+        )
         take = lambda a: jnp.take(a, order)
         o_s = V3(take(o.x), take(o.y), take(o.z))
         d_s = V3(take(d.x), take(d.y), take(d.z))
         rays, n = _pack_rays_soa(o_s, d_s, take(t_min), take(t_max))
-        out_sorted = run_clustered(
-            rays, tris, jnp.asarray(scene.tri_clusters), supers, any_hit,
-            n_tris=int(scene.tri_v0.shape[0]), interpret=INTERPRET,
-        )
+        n_clusters = (int(scene.tri_v0.shape[0]) + TRI_TILE - 1) // TRI_TILE
+        if scene.tri_tree is not None:
+            from .pallas_tree import run_tree
+
+            trees_t = (
+                jnp.asarray(scene.tri_blocks)
+                if scene.tri_blocks is not None
+                else pack_tris_t(scene.tri_v0, scene.tri_e1, scene.tri_e2)
+            )
+            out_sorted = run_tree(
+                rays, trees_t, jnp.asarray(scene.tri_tree), any_hit,
+                n_clusters=n_clusters, leaf_span=scene.tree_leaf_span,
+                interpret=INTERPRET,
+            )
+        else:
+            from .pallas_cluster import run_clustered
+
+            tris = pack_tris_t(scene.tri_v0, scene.tri_e1, scene.tri_e2)
+            out_sorted = run_clustered(
+                rays, tris, jnp.asarray(scene.tri_clusters), supers,
+                any_hit, n_tris=int(scene.tri_v0.shape[0]),
+                interpret=INTERPRET,
+            )
         inv = jnp.zeros_like(order).at[order].set(
             jnp.arange(order.shape[0], dtype=order.dtype)
         )
         out = jnp.take(out_sorted[:, :n], inv, axis=1)
     else:
         rays, n = _pack_rays_soa(o, d, t_min, t_max)
+        tris = pack_tris(
+            scene.tri_v0, scene.tri_e1, scene.tri_e2, tri_tile=tri_tile
+        )
         out = _run(
             rays, tris, any_hit, interpret=INTERPRET, tri_tile=tri_tile
         )[:, :n]

@@ -166,7 +166,9 @@ class InstanceTable:
     n_instances: int = 0
 
 
-@pytree_dataclass(meta=("n_tris", "n_materials", "intersector"))
+@pytree_dataclass(
+    meta=("n_tris", "n_materials", "intersector", "tree_leaf_span")
+)
 class SceneArrays:
     """The compiled scene. Triangle storage is in BVH-reordered order.
 
@@ -189,6 +191,14 @@ class SceneArrays:
     # (ops/pallas_cluster.py).
     tri_clusters: jax.Array = None
     tri_superclusters: jax.Array = None
+    # [Nn, 16] packed BVH2 node table over LEAF_SPAN-cluster blocks — the
+    # ordered log-depth Pallas walk (ops/pallas_tree.py). None = use the
+    # linear supercluster kernel. tree_leaf_span is static (kernel unroll).
+    # tri_blocks is the matching [16, Tpad] transposed triangle store the
+    # tree kernel DMAs cluster runs from (pack_tris_t layout, precomputed
+    # so render steps don't re-pack tens of MB per launch).
+    tri_tree: jax.Array = None
+    tri_blocks: jax.Array = None
     # Per-prototype Pallas BLAS tables (instanced scenes beyond the
     # flatten budget; ops/pallas_cluster.run_instanced): per-prototype
     # padded object-space triangle blocks, concatenated cluster/super
@@ -222,6 +232,7 @@ class SceneArrays:
     n_tris: int = 0
     n_materials: int = 0
     intersector: str = "bvh"  # "brute" | "bvh" | "pallas"
+    tree_leaf_span: int = 1   # clusters per tri_tree leaf (static)
 
 
 @pytree_dataclass(meta=("width", "height", "lens_radius", "focal_distance"))

@@ -601,6 +601,27 @@ def compile_scene(shapes, intersector="bvh", environment=None):
 
     clusters = build_clusters(v0, e1, e2)
     superclusters = build_superclusters(clusters, v0.shape[0])
+    # Ordered BVH2 walk over cluster blocks (ops/pallas_tree.py) — only
+    # built for scenes past the dense all-pairs sweep's break-even.
+    tri_tree, tree_leaf_span, tri_blocks = None, 1, None
+    from ..ops.pallas_intersect import DENSE_MAX_TRIS
+
+    if v0.shape[0] > DENSE_MAX_TRIS:
+        from ..ops.pallas_tree import build_cluster_tree
+
+        tri_tree, tree_leaf_span = build_cluster_tree(clusters, v0.shape[0])
+        # Precomputed [16, Tpad] transposed triangle store (pack_tris_t
+        # layout) so render steps don't re-pack tens of MB per launch.
+        t = v0.shape[0]
+        pad = (-t) % 128
+        fields = np.concatenate(
+            [v0, e1, e2, np.zeros((t, 7))], axis=1
+        ).astype(np.float32).T
+        if pad:
+            fields = np.concatenate(
+                [fields, np.zeros((16, pad), np.float32)], axis=1
+            )
+        tri_blocks = fields
 
     # Fat shading table: all per-hit attributes behind ONE aligned gather
     # (see arrays.SceneArrays.prim_table for the column layout).
@@ -638,9 +659,12 @@ def compile_scene(shapes, intersector="bvh", environment=None):
         env_cdf=env_cdf,
         env_pmf=env_pmf,
         env_p_select=env_p,
+        tri_tree=tri_tree,
+        tri_blocks=tri_blocks,
         n_tris=int(v0.shape[0]),
         n_materials=len(mats.items),
         intersector=intersector,
+        tree_leaf_span=tree_leaf_span,
     )
 
 

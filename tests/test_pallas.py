@@ -184,8 +184,83 @@ def test_native_bvh_builder_matches_python():
     )
 
 
+def _random_tri_scene(n_tri, seed=9, spread=4, size=0.15):
+    from akari_tpu.scene.nodes import Mesh
+
+    r = np.random.default_rng(seed)
+    base = r.uniform(-spread, spread, size=(n_tri, 1, 3))
+    tris = (base + r.normal(scale=size, size=(n_tri, 3, 3))).astype(np.float32)
+    verts = tris.reshape(-1, 3)
+    idx = np.arange(verts.shape[0]).reshape(-1, 3)
+    return Mesh(vertices=verts, indices=idx)
+
+
+def _random_rays(nr, seed=2, spread=5):
+    rr = np.random.default_rng(seed)
+    o = jnp.asarray(rr.uniform(-spread, spread, size=(nr, 3)).astype(np.float32))
+    d = rr.normal(size=(nr, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, jnp.asarray(d)
+
+
+def _assert_hits_match(scene_p, hp, hb, atol=1e-5):
+    np.testing.assert_array_equal(np.asarray(hp.valid), np.asarray(hb.valid))
+    np.testing.assert_array_equal(_orig_prim(scene_p, hp), _orig_prim(scene_p, hb))
+    ok = np.asarray(hb.valid)
+    np.testing.assert_allclose(
+        np.asarray(hp.t)[ok], np.asarray(hb.t)[ok], rtol=1e-5, atol=atol
+    )
+
+
+def test_tree_kernel_matches_brute():
+    """Ordered BVH2 tree walk (interpret mode) vs brute force."""
+    from akari_tpu.scene.nodes import compile_scene
+
+    mesh = _random_tri_scene(6000, seed=13)
+    scene_p = compile_scene([mesh], intersector="pallas")
+    assert scene_p.tri_tree is not None  # really the tree path
+    scene_b = compile_scene([mesh], intersector="brute")
+    o, d = _random_rays(256, seed=4)
+    _assert_hits_match(scene_p, intersect(scene_p, o, d), intersect(scene_b, o, d))
+    op = occlude(scene_p, o, d, 0.0, 1e30)
+    ob = occlude(scene_b, o, d, 0.0, 1e30)
+    np.testing.assert_array_equal(np.asarray(op), np.asarray(ob))
+
+
+def test_tree_kernel_leaf_span_and_t_max():
+    """leaf_span > 1 leaves (multi-cluster DMA + real-count guard) and
+    bounded closest-hit queries (the fused shadow+extension contract)."""
+    import dataclasses
+
+    from akari_tpu.ops.pallas_tree import build_cluster_tree
+    from akari_tpu.scene.nodes import compile_scene
+
+    mesh = _random_tri_scene(9000, seed=17)
+    scene_p = compile_scene([mesh], intersector="pallas")
+    tree2, span2 = build_cluster_tree(
+        scene_p.tri_clusters, scene_p.n_tris, leaf_span=2
+    )
+    scene_2 = dataclasses.replace(scene_p, tri_tree=tree2, tree_leaf_span=span2)
+    scene_b = compile_scene([mesh], intersector="brute")
+    o, d = _random_rays(160, seed=6)
+    hb = intersect(scene_b, o, d)
+    _assert_hits_match(scene_2, intersect(scene_2, o, d), hb)
+    # bounded query: cut half the rays short of their own hit
+    t_ref = np.asarray(hb.t)
+    t_max = np.where(
+        np.arange(160) % 2 == 0, t_ref * 0.5, np.full(160, 1e30)
+    ).astype(np.float32)
+    h2 = intersect(scene_2, o, d, t_max=jnp.asarray(t_max))
+    hb2 = intersect(scene_b, o, d, t_max=jnp.asarray(t_max))
+    np.testing.assert_array_equal(np.asarray(h2.valid), np.asarray(hb2.valid))
+
+
 def test_cluster_kernel_matches_brute():
-    """Cluster-skip kernel (interpret mode) vs brute force on a mid scene."""
+    """Linear cluster-skip kernel (interpret mode) vs brute force —
+    still the instanced BLAS walk, so keep it covered on flat scenes by
+    nulling the tree table."""
+    import dataclasses
+
     from akari_tpu.scene.nodes import Mesh, compile_scene
 
     r = np.random.default_rng(9)
@@ -196,6 +271,7 @@ def test_cluster_kernel_matches_brute():
     idx = np.arange(verts.shape[0]).reshape(-1, 3)
     mesh = Mesh(vertices=verts, indices=idx)
     scene_p = compile_scene([mesh], intersector="pallas")
+    scene_p = dataclasses.replace(scene_p, tri_tree=None)
     scene_b = compile_scene([mesh], intersector="brute")
     # storage count may exceed n_tri (SBVH duplication); the cluster table
     # is padded to a SUPER multiple (padded rows are index-guarded)
