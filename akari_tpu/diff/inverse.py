@@ -30,6 +30,20 @@ class InverseConfig:
     learning_rate: float = 5e-2
     optimize_images: bool = False  # also optimize image-texture texels
     seed: int = 0
+    # "constant" | "cosine": cosine decays the lr to 5% over the run —
+    # with a fixed lr the Adam iterates orbit the optimum at a noise
+    # floor set by the MC gradient variance (r4 recovery: loss bounced
+    # 0.008 <-> 0.015 after iter ~450 and parameters stayed off).
+    lr_schedule: str = "constant"
+    # ((start_fraction, spp), ...): per-phase spp override of the render
+    # config — late iterations use more samples (less gradient noise)
+    # right where the schedule needs precision. Each distinct spp is one
+    # extra jit compile. Empty = render_cfg.spp throughout.
+    spp_ramp: tuple = ()
+    # Polyak/EMA averaging of the LATE iterates (starts at half the run):
+    # 0 disables; e.g. 0.98 returns an exponential average whose MC
+    # noise is ~sqrt((1-d)/2) of the final iterate's.
+    param_ema: float = 0.0
 
 
 def scene_params(scene, optimize_images=False, optimize_geometry=False):
@@ -91,43 +105,78 @@ def inverse_render(scene, camera, render_cfg, target, mesh, cfg=None):
 
     Returns (recovered_scene, losses list, final_image).
     """
+    import dataclasses
+
     cfg = cfg or InverseConfig()
     params = scene_params(scene, cfg.optimize_images)
-    tx = optax.adam(cfg.learning_rate)
+    if cfg.lr_schedule == "cosine":
+        lr = optax.cosine_decay_schedule(
+            cfg.learning_rate, cfg.iterations, alpha=0.05
+        )
+    else:
+        lr = cfg.learning_rate
+    tx = optax.adam(lr)
     opt_state = tx.init(params)
 
-    def loss_fn(params, seed):
-        s = apply_params(scene, params)
-        loss, img = loss_and_image_sharded(
-            s, camera, render_cfg, mesh, target, seed=seed
-        )
-        return loss, img
+    def make_step(rc):
+        def loss_fn(params, seed):
+            s = apply_params(scene, params)
+            loss, img = loss_and_image_sharded(
+                s, camera, rc, mesh, target, seed=seed
+            )
+            return loss, img
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, seed):
-        (loss, img), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, seed)
-        # MC gradient estimates can contain stray non-finite lanes (e.g. a
-        # roughness driven to the clamp boundary); zero them rather than
-        # poisoning the Adam moments.
-        grads = jax.tree_util.tree_map(
-            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
-        )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        # texture parameters are physically non-negative (albedo/radiance);
-        # keep a tiny positive floor so e.g. zero roughness cannot NaN the
-        # GGX pdf. Geometry deltas are signed and stay unclamped.
-        params = {
-            k: (p if k == "tri_delta" else jnp.maximum(p, 1e-4))
-            for k, p in params.items()
-        }
-        return params, opt_state, loss, img
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step(params, opt_state, seed):
+            (loss, img), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, seed)
+            # MC gradient estimates can contain stray non-finite lanes;
+            # zero them rather than poisoning the Adam moments.
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            # texture parameters are physically non-negative
+            # (albedo/radiance); keep a tiny positive floor. Geometry
+            # deltas are signed and stay unclamped.
+            params = {
+                k: (p if k == "tri_delta" else jnp.maximum(p, 1e-4))
+                for k, p in params.items()
+            }
+            return params, opt_state, loss, img
 
+        return step
+
+    # per-phase spp: each distinct spp compiles its own step
+    phases = [(0, render_cfg)]
+    for frac, spp in cfg.spp_ramp:
+        phases.append(
+            (int(frac * cfg.iterations),
+             dataclasses.replace(render_cfg, spp=int(spp)))
+        )
+    phases.sort(key=lambda x: x[0])
+    steps = [(start, make_step(rc)) for start, rc in phases]
+
+    ema = None
+    ema_start = cfg.iterations // 2
     losses = []
     img = None
     for it in range(cfg.iterations):
+        step = next(s for start, s in reversed(steps) if it >= start)
         params, opt_state, loss, img = step(
             params, opt_state, jnp.uint32(cfg.seed + it)
         )
         losses.append(float(loss))
-    return apply_params(scene, params), losses, img
+        if cfg.param_ema > 0.0 and it >= ema_start:
+            if ema is None:
+                # explicit copy: ``params`` is donated into the next step
+                ema = jax.tree_util.tree_map(lambda p: p * 1.0, params)
+            else:
+                d = cfg.param_ema
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: e * d + p * (1.0 - d), ema, params
+                )
+    final = ema if ema is not None else params
+    return apply_params(scene, final), losses, img

@@ -487,7 +487,7 @@ def _mis_weight_t1(light, s, rev_l_s, rev_l_sm1, max_eye_depth, xp):
 
 
 def trace_bdpt(scene, camera, cfg, seed, sample_idx, pixel_idx,
-               intersect_fn, occlude_fn, xp):
+               intersect_fn, occlude_fn, xp, lane_mask=None):
     """One BDPT sample per pixel -> ([N, 3] radiance, [W*H, 3] splat film).
 
     The first return is per-traced-pixel radiance (t >= 2 strategies and
@@ -495,6 +495,13 @@ def trace_bdpt(scene, camera, cfg, seed, sample_idx, pixel_idx,
     (zeros when t = 1 is disabled) — a light path traced for pixel i may
     splat anywhere. The final image is radiance_image + splat_film where
     both are averaged over spp.
+
+    ``lane_mask`` ([N] bool) excludes lanes from the SPLAT: the t = 1
+    estimator's normalization assumes exactly W*H light subpaths per
+    sample, so callers that pad the pixel axis (sharded render with a
+    pixel count not divisible by the device count) must mask their pad
+    lanes or the splat film gains (n_pad/W*H) extra energy. Per-lane
+    radiance needs no mask — callers slice it.
     """
     n = pixel_idx.shape[0]
     t1 = _t1_enabled(scene, camera, cfg)
@@ -595,6 +602,8 @@ def trace_bdpt(scene, camera, cfg, seed, sample_idx, pixel_idx,
                 we * cos_l * cos_cam / xp.maximum(dist * dist, 1e-12)
             )[..., None]
             ok = can & in_f & (xp.max(contrib, axis=-1) > 0.0)
+            if lane_mask is not None:
+                ok = ok & lane_mask
             o_sh = pl + w_cam * (
                 RAY_EPS / xp.maximum(xp.abs(dot(light["ng"][:, s], w_cam)), 1e-4)
             )[..., None]

@@ -40,12 +40,16 @@ def _trace_block(scene, camera, pixel_idx, *, cfg, seed, sample_offset=0):
     if isinstance(cfg, BDPTConfig):
         intersect_fn, occlude_fn, _ = _jax_intersectors(scene)
         n_film = camera.width * camera.height
+        # pad lanes (pixel id beyond the film) must not splat: the t=1
+        # estimator is normalized for exactly n_film light subpaths.
+        lane_mask = pixel_idx < jnp.uint32(n_film)
 
         def body(carry, s):
             acc, spl = carry
             li, sp = trace_bdpt(
                 scene, camera, cfg, seed, s + jnp.uint32(sample_offset),
                 pixel_idx, intersect_fn, occlude_fn, jnp,
+                lane_mask=lane_mask,
             )
             return (acc + li, spl + sp), None
 

@@ -87,6 +87,10 @@ def power_heuristic(pdf_a, pdf_b):
     (ref: kernel/pathtracer.h:102-111 has no MIS).
     """
     xp = _xp(pdf_a, pdf_b)
+    # clamp before squaring: a huge (near-delta) pdf squared overflows f32
+    # and inf/inf = NaN even though the weight limit is a clean 1.
+    pdf_a = xp.minimum(pdf_a, 1e18)
+    pdf_b = xp.minimum(pdf_b, 1e18)
     a2 = pdf_a * pdf_a
     denom = a2 + pdf_b * pdf_b
     return xp.where(denom > 0.0, a2 / xp.where(denom > 0.0, denom, 1.0), 0.0)

@@ -386,10 +386,26 @@ def _texture_mean(texs, tex_idx):
 # TLAS/BLAS compile remains for "bvh" and for very large scenes).
 FLATTEN_MAX_TRIS = 4_000_000
 
-# Above this flat-triangle count the supercluster tables outgrow their
-# VMEM budget (32 B/cluster + 32 B/supercluster ≈ 4.3 MB at 16M tris) and
-# `auto` falls back to the XLA threaded-BVH traversal.
-PALLAS_MAX_TRIS = 16_000_000
+# HBM-bound ceiling for the flat Pallas tree path. The BVH2 node table
+# auto-scales its leaf span to a fixed VMEM budget (ops/pallas_tree.py),
+# so the only real limit is HBM-resident scene storage (~300 B/tri across
+# the triangle / transposed / prim-table stores: 32M tris ~ 10 GB on a
+# 16 GB chip). Above it `auto` REFUSES rather than falling back to the
+# XLA while-loop route, which faults the TPU worker at >=130k tris
+# (reproduced r3+r4) — the r4 silent "bvh" fallback was a crash route.
+PALLAS_MAX_TRIS = 32_000_000
+
+# The instanced BLAS kernel keeps per-prototype cluster AABB tables
+# resident in VMEM (512 B per 128-tri cluster under the (8,128) tiling):
+# ~2M storage tris ~ 8 MB. Beyond this the two-level compile refuses on
+# TPU (same rationale as PALLAS_MAX_TRIS) instead of silently selecting
+# the worker-faulting XLA route.
+INSTANCED_PALLAS_MAX_TRIS = 2_000_000
+
+
+class SceneTooLargeError(ValueError):
+    """Scene exceeds the TPU intersector capacity (clean, documented
+    failure instead of a libtpu worker fault)."""
 
 
 def _auto_intersector(n_tris):
@@ -401,12 +417,24 @@ def _auto_intersector(n_tris):
     consults jax.default_backend() instead of picking purely by triangle
     count (ref keeps Embree-vs-BVH selection behind one interface the
     same way: nodes/scene.cpp:127-134).
+
+    On TPU the answer is ALWAYS "pallas": the XLA while-loop traversal
+    faults the TPU worker on large scenes (r3+r4, CAPABILITIES known-gap),
+    so routing there is never safe. Scenes beyond the Pallas HBM ceiling
+    raise ``SceneTooLargeError`` instead.
     """
     import jax
 
     if jax.default_backend() == "cpu":
         return "bvh"
-    return "pallas" if n_tris <= PALLAS_MAX_TRIS else "bvh"
+    if n_tris > PALLAS_MAX_TRIS:
+        raise SceneTooLargeError(
+            f"scene has {n_tris} triangles, beyond the TPU intersector "
+            f"capacity ({PALLAS_MAX_TRIS}); split the scene or use "
+            "instancing (the XLA 'bvh' backend is not offered: it faults "
+            "the TPU worker on large scenes)"
+        )
+    return "pallas"
 
 
 def _flatten_instances(shapes):
@@ -479,20 +507,13 @@ def compile_scene(shapes, intersector="bvh", environment=None):
     instances are flattened to world space so the Pallas hierarchy (and
     the fat prim_table gather) serve them too.
     """
-    if environment is not None and any(
-        isinstance(s, Instance) for s in shapes
-    ):
-        raise NotImplementedError(
-            "environment lights are supported on flat scenes only "
-            "(instanced scenes: flatten or drop the env light)"
-        )
     if any(isinstance(s, Instance) for s in shapes):
         total = sum(
             len(np.asarray(s.mesh.indices if isinstance(s, Instance) else s.indices))
             for s in shapes
         )
         if intersector == "bvh":
-            return _compile_instanced(shapes, "bvh")
+            return _compile_instanced(shapes, "bvh", environment=environment)
         if total > FLATTEN_MAX_TRIS:
             # Too big to flatten: two-level compile. "auto"/"pallas" get
             # the per-prototype Pallas BLAS (tables sized by shared
@@ -509,7 +530,8 @@ def compile_scene(shapes, intersector="bvh", environment=None):
                     "bvh" if jax.default_backend() == "cpu" else "pallas"
                 )
             return _compile_instanced(
-                shapes, "pallas" if resolved == "pallas" else "bvh"
+                shapes, "pallas" if resolved == "pallas" else "bvh",
+                environment=environment,
             )
         shapes = _flatten_instances(shapes)
     all_p, all_n, all_uv, all_mid = [], [], [], []
@@ -668,7 +690,7 @@ def compile_scene(shapes, intersector="bvh", environment=None):
     )
 
 
-def _compile_instanced(shapes, intersector="bvh"):
+def _compile_instanced(shapes, intersector="bvh", environment=None):
     """Two-level compile: shared prototype BLASes + a TLAS over instances.
 
     Capability superset of the reference's two-level BVH
@@ -814,18 +836,30 @@ def _compile_instanced(shapes, intersector="bvh"):
         light_tris = np.concatenate(lt_tri).astype(np.int32)
         power = np.concatenate(lt_power)
         pdf, cdf = build_cdf(power)
+        area_power_total = float(power.sum())
         lights = LightTable(
             tri_id=light_tris, cdf=cdf, pdf=pdf,
             tri_to_light=tri_to_light,
             n_lights=int(light_tris.size),
         )
     else:
+        area_power_total = 0.0
         lights = LightTable(
             tri_id=np.zeros(1, np.int32),
             cdf=np.asarray([0.0, 1.0], np.float32),
             pdf=np.ones(1, np.float32),
             tri_to_light=np.full(max(v0.shape[0], 1), -1, np.int32),
             n_lights=0,
+        )
+
+    # Environment light: shared with the flat compile — env sampling /
+    # evaluation is geometry-representation-agnostic (escaped rays +
+    # the NEE strategy mixture), so instanced scenes use the same tables
+    # (closes the r4 env-x-instancing NotImplementedError).
+    env_image = env_cdf = env_pmf = env_p = None
+    if environment is not None:
+        env_image, env_cdf, env_pmf, env_p = _compile_env(
+            environment, area_power_total
         )
 
     # ---- TLAS over instance world AABBs -----------------------------
@@ -882,7 +916,21 @@ def _compile_instanced(shapes, intersector="bvh"):
     # scene of thousands of instances of a mid-size mesh stays tiny.
     inst_tris16 = inst_clusters = inst_supers = None
     instf = insti = None
-    if intersector == "pallas" and v0.shape[0] <= PALLAS_MAX_TRIS:
+    if intersector == "pallas" and v0.shape[0] > INSTANCED_PALLAS_MAX_TRIS:
+        # Never silently reroute TPU scenes onto the worker-faulting XLA
+        # backend (the r4 crash route); only the CPU backend may fall
+        # back to the while-loop traversal.
+        import jax
+
+        if jax.default_backend() != "cpu":
+            raise SceneTooLargeError(
+                f"instanced prototype storage ({v0.shape[0]} tris) exceeds "
+                f"the TPU instanced intersector capacity "
+                f"({INSTANCED_PALLAS_MAX_TRIS}); share more geometry "
+                "between instances or split prototypes"
+            )
+        intersector = "bvh"
+    if intersector == "pallas":
         from ..ops.pallas_cluster import (
             SUPER, build_clusters, build_superclusters,
         )
@@ -925,8 +973,6 @@ def _compile_instanced(shapes, intersector="bvh"):
             instf[i, 6:18] = w2o34[i].reshape(12)
             sb, sc, cb, cc, tb = proto_meta[inst_proto[i]]
             insti[i] = (sb, sc, cb, cc, tb, int(prim_base[i]), 0, 0)
-    else:
-        intersector = "bvh"
 
     return SceneArrays(
         tri_v0=v0, tri_e1=e1, tri_e2=e2,
@@ -940,6 +986,10 @@ def _compile_instanced(shapes, intersector="bvh"):
         bvh=BVHArrays(**merged),
         prim_to_orig=prim_to_orig,
         instances=instances,
+        env_image=env_image,
+        env_cdf=env_cdf,
+        env_pmf=env_pmf,
+        env_p_select=env_p,
         n_tris=int(prim_base[-1]),
         n_materials=len(mats.items),
         intersector=intersector,

@@ -50,7 +50,10 @@ def _resolved_closure_table(materials, textures, xp):
     frac = xp.clip(
         xp.take(textures.value[:, 0], materials.fraction_tex), 1e-4, 1.0 - 1e-4
     )
-    alpha = xp.maximum(rough * rough, 1e-4)
+    # clip: roughness is physically in [0,1]; non-glossy rows point their
+    # roughness_tex at arbitrary texels (e.g. radiance), and an unbounded
+    # alpha makes the (masked) microfacet branch numerically wild.
+    alpha = xp.clip(rough * rough, 1e-4, 1.0)
     closure_kind = xp.where(
         kind == MAT_DIFFUSE,
         CLOSURE_DIFFUSE,
@@ -165,7 +168,10 @@ def closure_params(materials, textures, leaf_id, choice_pdf, uv):
     rough = tex.evaluate_scalar(
         textures, xp.take(materials.roughness_tex, leaf_id), uv
     )
-    alpha = xp.maximum(rough * rough, 1e-4)
+    # clip: roughness is physically in [0,1]; non-glossy rows point their
+    # roughness_tex at arbitrary texels (e.g. radiance), and an unbounded
+    # alpha makes the (masked) microfacet branch numerically wild.
+    alpha = xp.clip(rough * rough, 1e-4, 1.0)
     closure_kind = xp.where(
         kind == MAT_DIFFUSE,
         CLOSURE_DIFFUSE,

@@ -93,10 +93,14 @@ def power_heuristic(pdf_a, pdf_b):
 # Identical formulas to shading/microfacet.py on component scalars.
 
 def _tan2_theta(w):
+    # c2 clamp keeps tan^2 <= 1e8 (within 1e-4 rad of grazing): the exact
+    # 1e-20 guard made the BACKWARD (-s2/c2^2) overflow to inf, and a
+    # masked-out closure branch then turned 0 * inf into NaN parameter
+    # gradients (r5: the dryrun's depth-5 NEE NaN).
     xp = _xp(w.z)
     c2 = w.z * w.z
     s2 = xp.maximum(0.0, 1.0 - c2)
-    return s2 / xp.where(c2 == 0.0, 1e-20, c2)
+    return s2 / xp.maximum(c2, 1e-8)
 
 
 def _mf_d(dist, alpha, m):
@@ -105,9 +109,16 @@ def _mf_d(dist, alpha, m):
     t2 = _tan2_theta(m)
     a2 = alpha * alpha
     at = a2 + t2
-    d_ggx = a2 / (PI * c2 * c2 * at * at + 1e-20)
-    d_beck = xp.exp(-t2 / a2) / (PI * a2 * c2 * c2 + 1e-20)
-    d_phong = (alpha + 2.0) / (2.0 * PI) * xp.power(xp.maximum(m.z, 0.0), alpha)
+    # Guard at 1e-12 (not 1e-20): the quotient rule's backward divides by
+    # denom^2, and a 1e-20 denom UNDERFLOWS squared in f32 -> 1/0 = inf
+    # -> 0 * inf = NaN parameter gradients on masked grazing lanes.
+    d_ggx = a2 / (PI * c2 * c2 * at * at + 1e-12)
+    d_beck = xp.exp(-t2 / a2) / (PI * a2 * c2 * c2 + 1e-12)
+    # power base clamped away from 0: d(x^a)/da = x^a ln(x) is NaN at
+    # x = 0 even when this (masked) branch is never selected.
+    d_phong = (alpha + 2.0) / (2.0 * PI) * xp.power(
+        xp.maximum(m.z, 1e-6), alpha
+    )
     d = xp.where(dist == mf.GGX, d_ggx, xp.where(dist == mf.BECKMANN, d_beck, d_phong))
     return xp.where(m.z > 0.0, d, 0.0)
 
@@ -123,8 +134,10 @@ def _mf_g1(dist, alpha, v, m):
     back = v.dot(m) * v.z <= 0.0
     t2 = _tan2_theta(v)
     g_ggx = 2.0 / (1.0 + xp.sqrt(1.0 + alpha * alpha * t2))
-    tt = xp.sqrt(xp.maximum(t2, 0.0))
-    a_beck = 1.0 / (alpha * xp.maximum(tt, 1e-9))
+    # +1e-12 inside sqrt: d(sqrt)/dt2 at t2 = 0 is inf, which poisons
+    # masked lanes' parameter gradients (0 * inf = NaN).
+    tt = xp.sqrt(xp.maximum(t2, 0.0) + 1e-12)
+    a_beck = 1.0 / (xp.maximum(alpha, 1e-4) * xp.maximum(tt, 1e-9))
     a_phong = xp.sqrt(0.5 * alpha + 1.0) / xp.maximum(tt, 1e-9)
     g = xp.where(
         dist == mf.GGX,
@@ -185,22 +198,39 @@ def _micro_eval(color, dist, alpha, wo, wi):
     cos_i = xp.abs(wi.z)
     wh_raw = wo + wi
     wh2 = wh_raw.dot(wh_raw)
-    wh = wh_raw * (1.0 / xp.sqrt(xp.maximum(wh2, 1e-20)))
+    # Degenerate half vectors (wi ~ -wo, e.g. an NEE direction opposite
+    # the outgoing ray) are replaced by the pole BEFORE the microfacet
+    # math: normalizing near-zero vectors gives wh components whose
+    # backward is singular, and the 0-masked result still emits NaN
+    # parameter cotangents.
+    degen = wh2 < 1e-12
+    wh = v3where(
+        degen,
+        V3(xp.zeros_like(wh2), xp.zeros_like(wh2), xp.ones_like(wh2)),
+        wh_raw * (1.0 / xp.sqrt(xp.maximum(wh2, 1e-20))),
+    )
     wh = v3where(wh.z < 0.0, -wh, wh)
     d_val = _mf_d(dist, alpha, wh)
     g_val = _mf_g1(dist, alpha, wo, wh) * _mf_g1(dist, alpha, wi, wh)
     denom = 4.0 * cos_i * cos_o
     scale = d_val * g_val / xp.maximum(denom, 1e-9)
-    ok = same & (cos_i > 0) & (cos_o > 0) & (wh2 > 0)
+    ok = same & (cos_i > 0) & (cos_o > 0) & ~degen
     return v3where(ok, color * scale, 0.0)
 
 
 def _micro_pdf(dist, alpha, wo, wi):
     xp = _xp(wo.z)
-    wh = (wo + wi).normalized(eps=1e-20)
+    wh_raw = wo + wi
+    wh2 = wh_raw.dot(wh_raw)
+    degen = wh2 < 1e-12  # see _micro_eval: sanitize before the math
+    wh = v3where(
+        degen,
+        V3(xp.zeros_like(wh2), xp.zeros_like(wh2), xp.ones_like(wh2)),
+        wh_raw * (1.0 / xp.sqrt(xp.maximum(wh2, 1e-20))),
+    )
     wh = v3where(wh.z < 0.0, -wh, wh)
     pdf = _mf_pdf_wh(dist, alpha, wh) / xp.maximum(4.0 * xp.abs(wo.dot(wh)), 1e-9)
-    return xp.where(_same_hemisphere(wo, wi), pdf, 0.0)
+    return xp.where(_same_hemisphere(wo, wi) & ~degen, pdf, 0.0)
 
 
 def _micro_sample(color, dist, alpha, wo, u1, u2):
@@ -410,7 +440,10 @@ def closure_params(materials, textures, leaf_id, choice_pdf, uv_u, uv_v):
     rough = tex.evaluate_scalar(
         textures, xp.take(materials.roughness_tex, leaf_id), uv
     )
-    alpha = xp.maximum(rough * rough, 1e-4)
+    # clip: roughness is physically in [0,1]; non-glossy rows point their
+    # roughness_tex at arbitrary texels (e.g. radiance), and an unbounded
+    # alpha makes the (masked) microfacet branch numerically wild.
+    alpha = xp.clip(rough * rough, 1e-4, 1.0)
     closure_kind = xp.where(
         kind == MAT_DIFFUSE,
         CLOSURE_DIFFUSE,
