@@ -89,6 +89,11 @@ def _vertex_tape(n, depth, xp):
         "uv": z(2),          # texture coords (for Le at eye hits)
         "mat_id": xp.zeros((n, depth), xp.int32),
         "prim": xp.full((n, depth), -1, xp.int32),
+        # Dirac (mirror/glass) vertex: non-connectible; its fwd/rev pdfs
+        # are recorded as 0 and remapped to 1 in the MIS recurrence so
+        # the delta densities cancel ratio-wise (pbrt's remap0 + delta
+        # flag treatment — replaces the r4 DELTA_PDF=1e8 crutch).
+        "delta": xp.zeros((n, depth), bool),
     }
 
 
@@ -202,10 +207,20 @@ def _sa_to_area(pdf_sa, p_from, p_to, n_to, xp):
 
 def _trace_eye_subpath(scene, camera, cfg, seed, sample_idx, pixel_idx,
                        intersect_fn, xp):
-    """Trace the eye subpath, filling a vertex tape of depth cfg.eye_depth."""
+    """Trace the eye subpath, filling a vertex tape of depth cfg.eye_depth.
+
+    Returns (tape, L_env): escaped segments accumulate the environment
+    radiance times the running throughput. The env participates in BDPT
+    only through this escape strategy (env directions are never sampled
+    from the light side, so escape is the UNIQUE strategy for env paths
+    and its MIS weight is exactly 1 — unbiased by construction; peaked
+    env maps simply converge at BSDF-sampling rates).
+    """
     n = pixel_idx.shape[0]
     depth = cfg.eye_depth
     tape = _vertex_tape(n, depth, xp)
+    has_env = scene.env_image is not None
+    L_env = xp.zeros((n, 3), xp.float32)
 
     o, d = camera_rays(camera, seed, sample_idx, pixel_idx, xp)
     beta = xp.ones((n, 3), xp.float32)
@@ -215,10 +230,19 @@ def _trace_eye_subpath(scene, camera, cfg, seed, sample_idx, pixel_idx,
     # because film-uniform sampling importance-samples We exactly).
     pdf_dir = _camera_ray_pdf_dir(camera, d, xp)
     prev_p = o
-    prev_ns = d  # unused for camera; pdf conversions handled below
+    prev_delta = xp.zeros((n,), bool)
 
     for t in range(depth):
         th, prim, bary, valid = intersect_fn(o, d)
+        if has_env:
+            from ..core.v3 import V3
+            from ..shading import soa
+
+            escaped = active & ~valid
+            Le_env = soa.env_eval(
+                scene, V3(d[..., 0], d[..., 1], d[..., 2])
+            ).stack(xp)
+            L_env = L_env + beta * Le_env * escaped[..., None]
         active = active & valid
         p, ng, ns, uv, mat_id = _surface_data(scene, prim, bary, xp)
         wo = -d
@@ -230,8 +254,11 @@ def _trace_eye_subpath(scene, camera, cfg, seed, sample_idx, pixel_idx,
         params = mat_mod.closure_params(
             scene.materials, scene.textures, leaf, choice_pdf, uv
         )
-        # area pdf of this vertex from the previous one
-        pdf_area = _sa_to_area(pdf_dir, prev_p, p, ns, xp)
+        # area pdf of this vertex from the previous one (0 — remapped to
+        # 1 in MIS — when the previous vertex sampled a delta lobe)
+        pdf_area = xp.where(
+            prev_delta, 0.0, _sa_to_area(pdf_dir, prev_p, p, ns, xp)
+        )
 
         tape = _set(
             tape, t,
@@ -240,6 +267,7 @@ def _trace_eye_subpath(scene, camera, cfg, seed, sample_idx, pixel_idx,
             choice_pdf=params["choice_pdf"], pdf_fwd=pdf_area,
             valid=active, uv=uv, mat_id=mat_id,
             prim=xp.where(active, prim, -1),
+            delta=_is_delta_kind(params["kind"]),
         )
 
         # sample continuation
@@ -262,12 +290,13 @@ def _trace_eye_subpath(scene, camera, cfg, seed, sample_idx, pixel_idx,
             ok[..., None], beta * f * (cos_wi / xp.maximum(pdf, 1e-9))[..., None], beta
         )
         prev_p = p
+        prev_delta = _is_delta_kind(params["kind"])
         o = p + wi * (RAY_EPS / xp.maximum(xp.abs(dot(ng, wi)), 1e-4))[..., None]
         d = wi
         pdf_dir = pdf
         active = ok
 
-    return tape
+    return tape, L_env
 
 
 def _sample_light_origin(scene, seed, sample_idx, pixel_idx, xp):
@@ -330,6 +359,7 @@ def _trace_light_subpath(scene, cfg, seed, sample_idx, pixel_idx,
     o = p0 + d * (RAY_EPS / xp.maximum(cos0, 1e-4))[..., None]
     active = tape["valid"][:, 0]
     prev_p = p0
+    prev_delta = xp.zeros((n,), bool)
 
     for s in range(1, depth):
         th, prim, bary, valid = intersect_fn(o, d)
@@ -345,7 +375,9 @@ def _trace_light_subpath(scene, cfg, seed, sample_idx, pixel_idx,
         params = mat_mod.closure_params(
             scene.materials, scene.textures, leaf, choice_pdf, uv
         )
-        pdf_area = _sa_to_area(pdf_dir, prev_p, p, ns, xp)
+        pdf_area = xp.where(
+            prev_delta, 0.0, _sa_to_area(pdf_dir, prev_p, p, ns, xp)
+        )
         tape = _set(
             tape, s,
             p=p, ns=ns, ng=ng, wo=wo, beta=beta,
@@ -353,6 +385,7 @@ def _trace_light_subpath(scene, cfg, seed, sample_idx, pixel_idx,
             choice_pdf=params["choice_pdf"], pdf_fwd=pdf_area,
             valid=active, uv=uv, mat_id=mat_id,
             prim=xp.where(active, prim, -1),
+            delta=_is_delta_kind(params["kind"]),
         )
 
         frame = bsdf_mod.make_frame(ns)
@@ -371,6 +404,7 @@ def _trace_light_subpath(scene, cfg, seed, sample_idx, pixel_idx,
             ok[..., None], beta * f * (cos_wi / xp.maximum(pdf, 1e-9))[..., None], beta
         )
         prev_p = p
+        prev_delta = _is_delta_kind(params["kind"])
         o = p + wi * (RAY_EPS / xp.maximum(xp.abs(dot(ng, wi)), 1e-4))[..., None]
         d = wi
         pdf_dir = pdf
@@ -391,6 +425,20 @@ def _params_at(tape, i):
 
 def _safe_div(xp, a, b):
     return a / xp.where(b > 1e-18, b, 1e-18)
+
+
+def _remap0(xp, x):
+    """pbrt's remap0: treat 0 pdfs as 1 in MIS pdf ratios. Delta vertices
+    record fwd/rev = 0, so their (delta) densities cancel to ratio 1; the
+    strategies that would CONNECT at them are excluded separately via the
+    delta flags."""
+    return xp.where(x > 0.0, x, 1.0)
+
+
+def _is_delta_kind(kind):
+    return (kind == bsdf_mod.CLOSURE_SPECULAR) | (
+        kind == bsdf_mod.CLOSURE_GLASS
+    )
 
 
 def _mis_weight(eye, light, s, t, rev_e_t, rev_e_tm1, rev_l_s, rev_l_sm1,
@@ -419,13 +467,18 @@ def _mis_weight(eye, light, s, t, rev_e_t, rev_e_tm1, rev_l_s, rev_l_sm1,
     # Tape index k holds vertex count k+1. Eye-ward alternatives: the
     # connection moves past eye index k (k = t .. 1, and k = 0 for the
     # t1 splat strategy), leaving k eye vertices and s + (t - k) + 2
-    # light vertices.
+    # light vertices. pdf ratios use remap0 so delta vertices' (zeroed)
+    # densities cancel to 1; an alternative whose connection endpoint is
+    # a delta vertex does not exist and is excluded per lane.
     ri = xp.ones_like(rev_e_t)
     for k in range(t, -1 if t1 else 0, -1):
         rev = rev_e_t if k == t else (rev_e_tm1 if k == t - 1 else eye["pdf_rev"][:, k])
-        ri = ri * _safe_div(xp, rev, eye["pdf_fwd"][:, k])
+        ri = ri * (_remap0(xp, rev) / _remap0(xp, eye["pdf_fwd"][:, k]))
         if s + (t - k) + 2 <= max_light_depth:
-            sum_ri = sum_ri + ri
+            can = ~eye["delta"][:, k]
+            if k >= 1:
+                can = can & ~eye["delta"][:, k - 1]
+            sum_ri = sum_ri + xp.where(can, ri, 0.0)
 
     # Light-ward alternatives: the connection moves past light index k
     # (k = s .. 0, k = 0 is the pure eye hit), leaving k light vertices
@@ -433,9 +486,12 @@ def _mis_weight(eye, light, s, t, rev_e_t, rev_e_tm1, rev_l_s, rev_l_sm1,
     ri = xp.ones_like(rev_e_t)
     for k in range(s, -1, -1):
         rev = rev_l_s if k == s else (rev_l_sm1 if k == s - 1 else light["pdf_rev"][:, k])
-        ri = ri * _safe_div(xp, rev, light["pdf_fwd"][:, k])
+        ri = ri * (_remap0(xp, rev) / _remap0(xp, light["pdf_fwd"][:, k]))
         if t + (s - k) + 2 <= max_eye_depth:
-            sum_ri = sum_ri + ri
+            can = ~light["delta"][:, k]
+            if k >= 1:
+                can = can & ~light["delta"][:, k - 1]
+            sum_ri = sum_ri + xp.where(can, ri, 0.0)
 
     return 1.0 / (1.0 + sum_ri)
 
@@ -461,9 +517,12 @@ def _mis_weight_s0(eye, t, pdf_light_area, pdf_emit_tm1, max_light_depth, xp,
             rev = pdf_emit_tm1
         else:
             rev = eye["pdf_rev"][:, k]
-        ri = ri * _safe_div(xp, rev, eye["pdf_fwd"][:, k])
+        ri = ri * (_remap0(xp, rev) / _remap0(xp, eye["pdf_fwd"][:, k]))
         if (t - k + 1) <= max_light_depth:
-            sum_ri = sum_ri + ri
+            can = ~eye["delta"][:, k]
+            if k >= 1:
+                can = can & ~eye["delta"][:, k - 1]
+            sum_ri = sum_ri + xp.where(can, ri, 0.0)
     return 1.0 / (1.0 + sum_ri)
 
 
@@ -480,9 +539,12 @@ def _mis_weight_t1(light, s, rev_l_s, rev_l_sm1, max_eye_depth, xp):
     ri = xp.ones_like(rev_l_s)
     for k in range(s, -1, -1):
         rev = rev_l_s if k == s else (rev_l_sm1 if k == s - 1 else light["pdf_rev"][:, k])
-        ri = ri * _safe_div(xp, rev, light["pdf_fwd"][:, k])
+        ri = ri * (_remap0(xp, rev) / _remap0(xp, light["pdf_fwd"][:, k]))
         if (s + 1 - k) <= max_eye_depth:
-            sum_ri = sum_ri + ri
+            can = ~light["delta"][:, k]
+            if k >= 1:
+                can = can & ~light["delta"][:, k - 1]
+            sum_ri = sum_ri + xp.where(can, ri, 0.0)
     return 1.0 / (1.0 + sum_ri)
 
 
@@ -507,13 +569,15 @@ def trace_bdpt(scene, camera, cfg, seed, sample_idx, pixel_idx,
     t1 = _t1_enabled(scene, camera, cfg)
     n_film = camera.width * camera.height
     splat = xp.zeros((n_film, 3), xp.float32)
-    eye = _trace_eye_subpath(
+    eye, L_env = _trace_eye_subpath(
         scene, camera, cfg, seed, sample_idx, pixel_idx, intersect_fn, xp
     )
     light = _trace_light_subpath(
         scene, cfg, seed, sample_idx, pixel_idx, intersect_fn, xp
     )
-    L = xp.zeros((n, 3), xp.float32)
+    # environment radiance along escaped eye segments (the escape is the
+    # only strategy producing env paths, so its MIS weight is 1)
+    L = L_env
 
     # All connection/splat visibility rays are queued and answered by ONE
     # batched occlusion launch at the end (the fused-launch idea from
@@ -594,8 +658,10 @@ def trace_bdpt(scene, camera, cfg, seed, sample_idx, pixel_idx,
                     bsdf_mod.pdf_world(l_params, l_frame, w_cam, w_back),
                     pl, light["p"][:, s - 1], light["ns"][:, s - 1], xp,
                 )
-                can = light["valid"][:, s] & (
-                    light["kind"][:, s] != bsdf_mod.CLOSURE_NULL
+                can = (
+                    light["valid"][:, s]
+                    & (light["kind"][:, s] != bsdf_mod.CLOSURE_NULL)
+                    & ~light["delta"][:, s]
                 )
             # importance transport: beta * f * We * cos_l * cos_cam / d^2
             contrib = light["beta"][:, s] * f_l * (
@@ -618,7 +684,11 @@ def trace_bdpt(scene, camera, cfg, seed, sample_idx, pixel_idx,
         pe = eye["p"][:, t]
         e_params = _params_at(eye, t)
         e_frame = bsdf_mod.make_frame(eye["ns"][:, t])
-        e_scatterable = eye["valid"][:, t] & (eye["kind"][:, t] != bsdf_mod.CLOSURE_NULL)
+        e_scatterable = (
+            eye["valid"][:, t]
+            & (eye["kind"][:, t] != bsdf_mod.CLOSURE_NULL)
+            & ~eye["delta"][:, t]   # delta vertices are non-connectible
+        )
         for s in range(cfg.light_depth):
             if t + s + 2 > cap:
                 break
@@ -683,6 +753,7 @@ def trace_bdpt(scene, camera, cfg, seed, sample_idx, pixel_idx,
             ok = (
                 e_scatterable
                 & light["valid"][:, s]
+                & ~light["delta"][:, s]
                 & (xp.max(contrib, axis=-1) > 0.0)
             )
             # visibility
