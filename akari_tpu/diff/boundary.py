@@ -32,10 +32,15 @@ the symmetric subgradient: per-face visibility is one-sided at a shared
 silhouette (moving one face tears the mesh), so the canonical use is
 whole-object or shared-vertex motion, which the mean reproduces exactly.
 
-Scope: flat scenes, direct lighting at the first bounce (the dominant
-visibility term; indirect-bounce boundaries remain a known gap, noted in
-CAPABILITIES.md). Edges of emissive faces are excluded (the light's own
-area derivative is already carried by the differentiable light table).
+Scope: flat scenes, the NEE visibility boundary at path vertices
+0..max_bounce (``boundary_term``): vertex 0 is the r4 direct term;
+``max_bounce >= 1`` walks a detached BSDF-sampled prefix (specular
+chains included) and estimates the same edge-sampled term at each later
+vertex weighted by the detached throughput — the "shadow seen in a
+mirror" case, FD-verified in tests/test_boundary.py. Prefix-visibility
+boundaries (the occluder cutting the specular chain itself) remain out
+of scope. Edges of emissive faces are excluded (the light's own area
+derivative is already carried by the differentiable light table).
 """
 
 from __future__ import annotations
@@ -122,21 +127,45 @@ def _dot(a, b):
 
 def boundary_direct_term(scene, camera, tri_delta, edge_table, seed=0,
                          edge_samples=4, sample_idx=0):
-    """Per-pixel [H*W, 3] boundary surrogate: primal ZERO, gradient w.r.t.
-    ``tri_delta`` = the silhouette boundary term of direct lighting.
+    """Per-pixel [H*W, 3] boundary surrogate for the FIRST-bounce NEE
+    integral (kept as the stable name; = ``boundary_term`` at
+    max_bounce=0). See ``boundary_term``."""
+    return boundary_term(
+        scene, camera, tri_delta, edge_table, seed=seed,
+        edge_samples=edge_samples, sample_idx=sample_idx, max_bounce=0,
+    )
 
-    Add this to a rendered image inside a loss; only ``tri_delta`` carries
-    tangents (everything else is detached). DIM plan: edge/s/light draws
-    use high RNG dims (8192+) so they never collide with path dims.
+
+def boundary_term(scene, camera, tri_delta, edge_table, seed=0,
+                  edge_samples=4, sample_idx=0, max_bounce=0):
+    """Per-pixel [H*W, 3] boundary surrogate: primal ZERO, gradient w.r.t.
+    ``tri_delta`` = the silhouette boundary term of the direct lighting
+    seen at path vertices 0 .. max_bounce.
+
+    ``max_bounce > 0`` (r5, VERDICT r4 missing #3) extends the r4
+    first-vertex estimator to INDIRECT bounces: a detached BSDF-sampled
+    prefix walk advances the estimation vertex (mirror/glass bounces
+    included — the classic "shadow seen in a mirror" case), and each
+    vertex's edge-sampled boundary integrand is weighted by the detached
+    path throughput up to it. Occlusion changes along the prefix itself
+    (the moving occluder cutting the SPECULAR chain) remain outside this
+    estimator's scope — it covers the NEE visibility boundary at every
+    traced vertex, which is the dominant indirect term for the same
+    reason it dominates directly.
+
+    Add the result to a rendered image inside a loss; only ``tri_delta``
+    carries tangents (everything else is detached). DIM plan: edge/s/
+    light draws use high RNG dims (8192+, stepped 512 per bounce) so they
+    never collide with path dims.
     """
     import jax
     import jax.numpy as jnp
 
     from ..integrators.path import RAY_EPS, camera_rays, _surface_data
-    from ..ops.intersect import intersect, occlude
+    from ..ops.intersect import intersect
     from ..shading import bsdf as bsdf_mod
     from ..shading import material as mat_mod
-    from ..core.distribution import sample_discrete
+    from ..core.vecmath import dot as vdot
 
     sg = jax.lax.stop_gradient
     n = camera.width * camera.height
@@ -147,19 +176,70 @@ def boundary_direct_term(scene, camera, tri_delta, edge_table, seed=0,
     scene_d = jax.tree_util.tree_map(sg, scene)
     pix = jnp.arange(n, dtype=jnp.uint32)
     smp = jnp.full((n,), sample_idx, jnp.uint32)
-    o_cam, d_cam = camera_rays(camera, seed, smp, pix, jnp)
-    hit = intersect(scene_d, o_cam, d_cam)
-    x_pt, ng, ns, uv, mat_id = _surface_data(scene_d, hit.prim, hit.uv, jnp)
-    wo = -d_cam
-    # shading closure at x (diffuse/glossy; detached)
-    u_mix = rng.uniform(seed, pix, smp, jnp.uint32(8190))
-    leaf, choice_pdf = mat_mod.select_material(
-        scene_d.materials, scene_d.textures, mat_id, u_mix, uv
-    )
-    params = mat_mod.closure_params(
-        scene_d.materials, scene_d.textures, leaf, choice_pdf, uv
-    )
-    frame = bsdf_mod.make_frame(ns)
+    o, d = camera_rays(camera, seed, smp, pix, jnp)
+    beta = jnp.ones((n, 3), jnp.float32)
+    valid = jnp.ones((n,), bool)
+    acc = jnp.zeros((n, 3), jnp.float32)
+
+    for b in range(max_bounce + 1):
+        hit = intersect(scene_d, o, d)
+        valid = valid & hit.valid
+        x_pt, ng, ns, uv, mat_id = _surface_data(scene_d, hit.prim, hit.uv, jnp)
+        wo = -d
+        u_mix = rng.uniform(seed, pix, smp, jnp.uint32(8190 + 97 * b))
+        leaf, choice_pdf = mat_mod.select_material(
+            scene_d.materials, scene_d.textures, mat_id, u_mix, uv
+        )
+        params = mat_mod.closure_params(
+            scene_d.materials, scene_d.textures, leaf, choice_pdf, uv
+        )
+        frame = bsdf_mod.make_frame(ns)
+        acc = acc + _boundary_at_vertex(
+            scene_d, x_pt, ng, ns, wo, params, frame, valid, beta,
+            tri_delta, edge_table, seed, pix, smp, edge_samples,
+            dim_base=8192 + 512 * b,
+        )
+        if b == max_bounce:
+            break
+        # detached BSDF-sampled prefix step to the next vertex
+        u1 = rng.uniform(seed, pix, smp, jnp.uint32(8188 + 97 * b))
+        u2 = rng.uniform(seed, pix, smp, jnp.uint32(8189 + 97 * b))
+        wi, f, pdf = bsdf_mod.sample_world(params, frame, wo,
+                                           jnp.stack([u1, u2], axis=-1))
+        cos_wi = jnp.abs(vdot(ns, wi))
+        ok = valid & (params["kind"] != bsdf_mod.CLOSURE_NULL) & (pdf > 1e-9)
+        beta = jnp.where(
+            ok[..., None],
+            beta * sg(f) * (cos_wi / jnp.maximum(pdf, 1e-9))[..., None],
+            beta,
+        )
+        valid = ok
+        o = x_pt + wi * (
+            RAY_EPS / jnp.maximum(jnp.abs(vdot(ng, wi)), 1e-4)
+        )[..., None]
+        d = wi
+
+    return acc
+
+
+def _boundary_at_vertex(scene_d, x_pt, ng, ns, wo, params, frame, valid,
+                        beta, tri_delta, edge_table, seed, pix, smp,
+                        edge_samples, dim_base):
+    """Edge-sampled NEE boundary surrogate at ONE path vertex, weighted by
+    the (detached) throughput ``beta``. Everything except ``tri_delta``
+    is treated as detached."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..integrators.path import RAY_EPS
+    from ..ops.intersect import occlude
+    from ..shading import bsdf as bsdf_mod
+    from ..shading import material as mat_mod
+    from ..core.distribution import sample_discrete
+
+    sg = jax.lax.stop_gradient
+    n = x_pt.shape[0]
+    E = edge_table.a.shape[0]
 
     # light data (detached; the light's own motion is an interior term)
     lights = scene_d.lights
@@ -188,7 +268,7 @@ def boundary_direct_term(scene, camera, tri_delta, edge_table, seed=0,
 
     acc = jnp.zeros((n, 3), jnp.float32)
     for k in range(edge_samples):
-        base = jnp.uint32(8192 + 8 * k)
+        base = jnp.uint32(dim_base + 8 * k)
         u_e = rng.uniform(seed, pix, smp, base)
         u_s = rng.uniform(seed, pix, smp, base + 1)
         u_l = rng.uniform(seed, pix, smp, base + 2)
@@ -283,11 +363,11 @@ def boundary_direct_term(scene, camera, tri_delta, edge_table, seed=0,
         integrand = f_val * Le * (cos_x * cos_l / dist2)[:, None]
 
         ok = (
-            hit.valid & silhouette & between & inside & real_boundary
+            valid & silhouette & between & inside & real_boundary
             & (params["kind"] != bsdf_mod.CLOSURE_NULL)
         )
         # surrogate: primal 0, d/dθ = integrand * (n̂ · dy/dθ) * |dy/ds| * E
         motion = _dot(n_perp, y - y_d)  # ZERO primal, tangent = n̂·dy
-        contrib = integrand * (motion * dl_ds * ok)[:, None]
+        contrib = sg(beta) * integrand * (motion * dl_ds * ok)[:, None]
         acc = acc + contrib * (float(E) / edge_samples)
     return acc
