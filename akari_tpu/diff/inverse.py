@@ -18,6 +18,7 @@ from dataclasses import dataclass
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import optax
 
@@ -44,6 +45,13 @@ class InverseConfig:
     # 0 disables; e.g. 0.98 returns an exponential average whose MC
     # noise is ~sqrt((1-d)/2) of the final iterate's.
     param_ema: float = 0.0
+    # "linear" | "log": optimize texture values in log space. Adam's
+    # per-parameter step magnitude is ~lr, so a LINEAR-space emitter that
+    # must travel 7 -> 17 radiance units needs >= (10/lr) iterations no
+    # matter the gradients (the r4 recovery stalled exactly there); in
+    # log space the same travel is ln(17/7) ~ 0.9 units. Positivity is
+    # automatic. tri_delta (signed) stays linear.
+    param_space: str = "linear"
 
 
 def scene_params(scene, optimize_images=False, optimize_geometry=False):
@@ -109,6 +117,22 @@ def inverse_render(scene, camera, render_cfg, target, mesh, cfg=None):
 
     cfg = cfg or InverseConfig()
     params = scene_params(scene, cfg.optimize_images)
+    log_space = cfg.param_space == "log"
+
+    def to_raw(p):
+        if not log_space:
+            return p
+        return {
+            k: (v if k == "tri_delta" else jnp.exp(v))
+            for k, v in p.items()
+        }
+
+    if log_space:
+        params = {
+            k: (v if k == "tri_delta"
+                else jnp.log(jnp.maximum(jnp.asarray(v), 1e-4)))
+            for k, v in params.items()
+        }
     if cfg.lr_schedule == "cosine":
         lr = optax.cosine_decay_schedule(
             cfg.learning_rate, cfg.iterations, alpha=0.05
@@ -120,7 +144,7 @@ def inverse_render(scene, camera, render_cfg, target, mesh, cfg=None):
 
     def make_step(rc):
         def loss_fn(params, seed):
-            s = apply_params(scene, params)
+            s = apply_params(scene, to_raw(params))
             loss, img = loss_and_image_sharded(
                 s, camera, rc, mesh, target, seed=seed
             )
@@ -139,12 +163,19 @@ def inverse_render(scene, camera, render_cfg, target, mesh, cfg=None):
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             # texture parameters are physically non-negative
-            # (albedo/radiance); keep a tiny positive floor. Geometry
-            # deltas are signed and stay unclamped.
-            params = {
-                k: (p if k == "tri_delta" else jnp.maximum(p, 1e-4))
-                for k, p in params.items()
-            }
+            # (albedo/radiance); keep a tiny positive floor (linear) or a
+            # sane range (log). Geometry deltas are signed, unclamped.
+            if log_space:
+                params = {
+                    k: (p if k == "tri_delta"
+                        else jnp.clip(p, np.log(1e-4), np.log(1e4)))
+                    for k, p in params.items()
+                }
+            else:
+                params = {
+                    k: (p if k == "tri_delta" else jnp.maximum(p, 1e-4))
+                    for k, p in params.items()
+                }
             return params, opt_state, loss, img
 
         return step
@@ -179,4 +210,4 @@ def inverse_render(scene, camera, render_cfg, target, mesh, cfg=None):
                     lambda e, p: e * d + p * (1.0 - d), ema, params
                 )
     final = ema if ema is not None else params
-    return apply_params(scene, final), losses, img
+    return apply_params(scene, to_raw(final)), losses, img

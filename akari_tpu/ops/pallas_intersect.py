@@ -317,11 +317,11 @@ def _unpack_closest(out):
 
 def intersect_pallas_instanced(scene, o, d, t_min, t_max, any_hit=False,
                                hint="primary"):
-    """Two-level instanced ray-stream entry (per-prototype Pallas BLAS,
-    ops/pallas_cluster.run_instanced). Same signature/results as
+    """Two-level instanced ray-stream entry. Prefers the per-prototype
+    ordered tree walk (ops/pallas_tree.run_instanced_tree, r5); scenes
+    compiled without tree tables fall back to the linear supercluster
+    BLAS (ops/pallas_cluster.run_instanced). Same signature/results as
     intersect_pallas_soa; hits carry VIRTUAL prim ids."""
-    from .pallas_cluster import run_instanced
-
     instf = jnp.asarray(scene.inst_pallas_f32)
     lo = jnp.min(instf[:, 0:3], axis=0)
     hi = jnp.max(instf[:, 3:6], axis=0)
@@ -332,13 +332,25 @@ def intersect_pallas_instanced(scene, o, d, t_min, t_max, any_hit=False,
     o_s = V3(take(o.x), take(o.y), take(o.z))
     d_s = V3(take(d.x), take(d.y), take(d.z))
     rays, n = _pack_rays_soa(o_s, d_s, take(t_min), take(t_max))
-    out_sorted = run_instanced(
-        rays, instf, jnp.asarray(scene.inst_pallas_i32),
-        jnp.asarray(scene.tri_superclusters),
-        jnp.asarray(scene.tri_clusters),
-        jnp.asarray(scene.inst_tris16),
-        any_hit, interpret=INTERPRET,
-    )
+    if scene.tri_tree is not None:
+        from .pallas_tree import run_instanced_tree
+
+        out_sorted = run_instanced_tree(
+            rays, instf, jnp.asarray(scene.inst_pallas_i32),
+            jnp.asarray(scene.tri_tree),
+            jnp.asarray(scene.inst_tris16),
+            any_hit, leaf_span=scene.tree_leaf_span, interpret=INTERPRET,
+        )
+    else:
+        from .pallas_cluster import run_instanced
+
+        out_sorted = run_instanced(
+            rays, instf, jnp.asarray(scene.inst_pallas_i32),
+            jnp.asarray(scene.tri_superclusters),
+            jnp.asarray(scene.tri_clusters),
+            jnp.asarray(scene.inst_tris16),
+            any_hit, interpret=INTERPRET,
+        )
     inv = jnp.zeros_like(order).at[order].set(
         jnp.arange(order.shape[0], dtype=order.dtype)
     )

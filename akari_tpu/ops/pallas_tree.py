@@ -404,3 +404,260 @@ def run_tree(rays, tris, nodes, any_hit, n_clusters, leaf_span,
         ],
         interpret=interpret,
     )(rays, nodes, tris)
+
+
+def _instanced_tree_kernel(rays_ref, instf_ref, insti_ref, nodes_ref,
+                           tris_hbm, out_ref, tri_vmem, stack_ref, sem, *,
+                           n_inst, leaf_span, any_hit):
+    """Two-level instanced tree walk (r5 upgrade of pallas_cluster's
+    linear run_instanced): per instance, cull the ray tile against the
+    instance WORLD AABB, transform the tile into object space (affine
+    w2o, direction unnormalized so the t parameter is world-shared and
+    best-t pruning works globally), then run the same ordered BVH2 walk
+    over the prototype's node range. Hits record VIRTUAL prim ids
+    (prim_base + local storage index; see scene/geom.py).
+
+    instf_ref [I, 20] f32: world lo(0:3) hi(3:6), w2o rows (6:18), pad.
+    insti_ref [I, 8] i32: (_, _, _, n_clusters, tile_base, prim_base,
+    tree_base, _) — slots 0..2 are the legacy linear-kernel bases.
+    """
+    rays = rays_ref[:]  # [8, R] world
+    wox, woy, woz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    wdx, wdy, wdz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    tmin = rays[6:7, :]
+
+    def inv(c):
+        return 1.0 / jnp.where(
+            jnp.abs(c) < 1e-12, jnp.where(c < 0, -1e-12, 1e-12), c
+        )
+
+    iwx, iwy, iwz = inv(wdx), inv(wdy), inv(wdz)
+
+    if any_hit:
+        out_ref[0:1, :] = jnp.zeros((1, RAY_TILE), jnp.float32)
+    else:
+        out_ref[0:4, :] = init_state(rays)
+
+    n_sub = RAY_TILE // 128
+    sub_id = jax.lax.broadcasted_iota(jnp.int32, (1, RAY_TILE), 1) >> 7
+    sub_w = jnp.int32(1) << (sub_id * 8)
+
+    def subtile_mask(s):
+        m = jnp.int32(0)
+        for j in range(n_sub):
+            m = m | (
+                (((s >> (8 * j)) & 255) > 0).astype(jnp.int32) << j
+            )
+        return m
+
+    def entry_of(c, mask):
+        return jnp.where(c >= 0, c, -(1 + (((-c - 1) << 4) | mask)))
+
+    def best_t_now():
+        if any_hit:
+            return jnp.where(out_ref[0:1, :] > 0.0, -1.0, rays[7:8, :])
+        return out_ref[0:1, :]
+
+    def world_slab_any(i):
+        lo_x, lo_y, lo_z = instf_ref[i, 0], instf_ref[i, 1], instf_ref[i, 2]
+        hi_x, hi_y, hi_z = instf_ref[i, 3], instf_ref[i, 4], instf_ref[i, 5]
+        bt = best_t_now()
+        t0x = (lo_x - wox) * iwx
+        t1x = (hi_x - wox) * iwx
+        t0y = (lo_y - woy) * iwy
+        t1y = (hi_y - woy) * iwy
+        t0z = (lo_z - woz) * iwz
+        t1z = (hi_z - woz) * iwz
+        near = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+        )
+        far = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.minimum(jnp.maximum(t0z, t1z), bt),
+        )
+        return jnp.any((near <= far) & (bt > tmin))
+
+    def inst_body(i, _):
+        @pl.when(world_slab_any(i))
+        def _():
+            m = [instf_ref[i, 6 + c] for c in range(12)]
+            ox = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
+            oy = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
+            oz = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
+            dx = m[0] * wdx + m[1] * wdy + m[2] * wdz
+            dy = m[4] * wdx + m[5] * wdy + m[6] * wdz
+            dz = m[8] * wdx + m[9] * wdy + m[10] * wdz
+            ix, iy, iz = inv(dx), inv(dy), inv(dz)
+            orays = jnp.concatenate(
+                [ox, oy, oz, dx, dy, dz, tmin, rays[7:8, :]], axis=0
+            )
+            n_cl = insti_ref[i, 3]
+            tile_base = insti_ref[i, 4]
+            prim_base = insti_ref[i, 5]
+            tree_base = insti_ref[i, 6]
+            # tile-representative OBJECT-space direction signs (scalars)
+            rdx = rays_ref[3, 0]
+            rdy = rays_ref[4, 0]
+            rdz = rays_ref[5, 0]
+            dneg_x = (m[0] * rdx + m[1] * rdy + m[2] * rdz) < 0.0
+            dneg_y = (m[4] * rdx + m[5] * rdy + m[6] * rdz) < 0.0
+            dneg_z = (m[8] * rdx + m[9] * rdy + m[10] * rdz) < 0.0
+
+            def slab_mask(lo_x, lo_y, lo_z, hi_x, hi_y, hi_z, bt):
+                t0x = (lo_x - ox) * ix
+                t1x = (hi_x - ox) * ix
+                t0y = (lo_y - oy) * iy
+                t1y = (hi_y - oy) * iy
+                t0z = (lo_z - oz) * iz
+                t1z = (hi_z - oz) * iz
+                near = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+                )
+                far = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), bt),
+                )
+                return (near <= far) & (bt > tmin)
+
+            def cond(carry):
+                sp, done = carry
+                return (sp > 0) & jnp.logical_not(done)
+
+            def body(carry):
+                sp, done = carry
+                sp = sp - 1
+                ref = stack_ref[sp]
+                inner = ref >= 0
+                nref = tree_base + jnp.where(inner, ref, 0)
+                c0 = nodes_ref[nref, 12].astype(jnp.int32)
+                c1 = nodes_ref[nref, 13].astype(jnp.int32)
+                ax = nodes_ref[nref, 14].astype(jnp.int32)
+                bt = best_t_now()
+                m0 = slab_mask(
+                    nodes_ref[nref, 0], nodes_ref[nref, 1],
+                    nodes_ref[nref, 2], nodes_ref[nref, 3],
+                    nodes_ref[nref, 4], nodes_ref[nref, 5], bt,
+                )
+                m1 = slab_mask(
+                    nodes_ref[nref, 6], nodes_ref[nref, 7],
+                    nodes_ref[nref, 8], nodes_ref[nref, 9],
+                    nodes_ref[nref, 10], nodes_ref[nref, 11], bt,
+                )
+                s0 = jnp.sum(m0.astype(jnp.int32) * sub_w)
+                s1 = jnp.sum(m1.astype(jnp.int32) * sub_w)
+                mask0 = subtile_mask(s0)
+                mask1 = subtile_mask(s1)
+                h0 = mask0 > 0
+                h1 = mask1 > 0
+                ent0 = entry_of(c0, mask0)
+                ent1 = entry_of(c1, mask1)
+                dneg = jnp.where(
+                    ax == 0, dneg_x, jnp.where(ax == 1, dneg_y, dneg_z)
+                )
+                near_r = jnp.where(dneg, ent1, ent0)
+                far_r = jnp.where(dneg, ent0, ent1)
+                near_h = jnp.where(dneg, h1, h0) & inner
+                far_h = jnp.where(dneg, h0, h1) & inner
+                stack_ref[sp] = far_r
+                sp = sp + far_h.astype(jnp.int32)
+                stack_ref[sp] = near_r
+                sp = sp + near_h.astype(jnp.int32)
+
+                @pl.when(jnp.logical_not(inner))
+                def _():
+                    v = -ref - 1
+                    blk = v >> 4
+                    lmask = v & 15
+                    for j in range(leaf_span):
+                        k = blk * leaf_span + j
+
+                        @pl.when(k < n_cl)
+                        def _():
+                            dma = pltpu.make_async_copy(
+                                tris_hbm.at[
+                                    :, pl.ds((tile_base + k) * TRI_TILE,
+                                             TRI_TILE)
+                                ],
+                                tri_vmem, sem,
+                            )
+                            dma.start()
+                            dma.wait()
+                            tris = jnp.transpose(tri_vmem[:])
+                            for st in range(n_sub):
+
+                                @pl.when(((lmask >> st) & 1) > 0)
+                                def _():
+                                    sl = slice(st * 128, (st + 1) * 128)
+                                    rb = orays[:, sl]
+                                    if any_hit:
+                                        hit, _, _, _ = _pairwise_mt_t(
+                                            rb, tris, rb[7:8, :]
+                                        )
+                                        got = jnp.max(
+                                            hit.astype(jnp.float32),
+                                            axis=0, keepdims=True,
+                                        )
+                                        out_ref[0:1, sl] = jnp.maximum(
+                                            out_ref[0:1, sl], got
+                                        )
+                                    else:
+                                        out_ref[0:4, sl] = closest_update(
+                                            out_ref[0:4, sl], rb, tris,
+                                            prim_base + k * TRI_TILE,
+                                        )
+
+                if any_hit:
+                    done = jnp.all(out_ref[0, :] > 0.0)
+                return sp, done
+
+            stack_ref[0] = jnp.int32(0)
+            jax.lax.while_loop(
+                cond, body, (jnp.int32(1), jnp.bool_(False))
+            )
+
+        return ()
+
+    jax.lax.fori_loop(0, n_inst, inst_body, ())
+
+
+@functools.partial(
+    jax.jit, static_argnames=("any_hit", "leaf_span", "interpret")
+)
+def run_instanced_tree(rays, instf, insti, nodes, tris, any_hit, leaf_span,
+                       interpret=False):
+    """Instanced two-level tree launch. rays [8, Npad]; tris [16, sum
+    Kp*128] per-prototype padded (tris on lanes); nodes = concatenated
+    per-prototype build_cluster_tree tables (see _instanced_tree_kernel
+    for the instance table layout)."""
+    n_ray_tiles = rays.shape[1] // RAY_TILE
+    kernel = functools.partial(
+        _instanced_tree_kernel, n_inst=instf.shape[0], leaf_span=leaf_span,
+        any_hit=any_hit,
+    )
+    out_rows = 1 if any_hit else 4
+    return pl.pallas_call(
+        kernel,
+        grid=(n_ray_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # instance f32 table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # instance i32 table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # node table
+            pl.BlockSpec(memory_space=pl.ANY),       # tris stay in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (out_rows, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (out_rows, rays.shape[1]), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((16, TRI_TILE), jnp.float32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(rays, instf, insti, nodes, tris)

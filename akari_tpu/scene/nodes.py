@@ -930,15 +930,25 @@ def _compile_instanced(shapes, intersector="bvh", environment=None):
                 "between instances or split prototypes"
             )
         intersector = "bvh"
+    inst_tree = None
+    inst_tree_span = 1
     if intersector == "pallas":
         from ..ops.pallas_cluster import (
             SUPER, build_clusters, build_superclusters,
         )
         from ..ops.pallas_intersect import TRI_TILE
+        from ..ops.pallas_tree import build_cluster_tree, pick_leaf_span
 
-        t16_parts, cl_parts, sup_parts = [], [], []
+        # global leaf span so every prototype tree fits one shared VMEM
+        # node budget (kernel unrolls a single static span)
+        total_clusters = sum(
+            -(-proto_n_storage[p] // TRI_TILE) for p in range(len(protos))
+        )
+        inst_tree_span = pick_leaf_span(max(total_clusters, 1))
+
+        t16_parts, cl_parts, sup_parts, tree_parts = [], [], [], []
         proto_meta = []
-        sup_cur = cl_cur = tile_cur = 0
+        sup_cur = cl_cur = tile_cur = tree_cur = 0
         for p in range(len(protos)):
             s = proto_tri_base[p]
             cnt = proto_n_storage[p]
@@ -955,24 +965,31 @@ def _compile_instanced(shapes, intersector="bvh", environment=None):
             # sweep; walking the padded rows per instance would cost
             # 64 x ~127 dead slab tests per ray tile (measured 6.8x).
             s_real = -(-kp // SUPER)
-            proto_meta.append((sup_cur, s_real, cl_cur, kp, tile_cur))
+            # per-prototype ordered BVH2 (ops/pallas_tree.py) — node rows
+            # are proto-local; the kernel offsets by tree_base
+            tree, _ = build_cluster_tree(cl, cnt, leaf_span=inst_tree_span)
+            proto_meta.append((sup_cur, s_real, cl_cur, kp, tile_cur,
+                               tree_cur))
             sup_cur += sup.shape[0]
             cl_cur += cl.shape[0]
             tile_cur += kp
+            tree_cur += tree.shape[0]
             t16_parts.append(t16.T.copy())  # [16, kp*TRI_TILE], tris on lanes
             cl_parts.append(cl)
             sup_parts.append(sup)
+            tree_parts.append(tree)
         inst_tris16 = np.concatenate(t16_parts, axis=1)
         inst_clusters = np.concatenate(cl_parts)
         inst_supers = np.concatenate(sup_parts)
+        inst_tree = np.concatenate(tree_parts)
         instf = np.zeros((n_inst, 20), np.float32)
         insti = np.zeros((n_inst, 8), np.int32)
         for i in range(n_inst):
             instf[i, 0:3] = ilo[i]
             instf[i, 3:6] = ihi[i]
             instf[i, 6:18] = w2o34[i].reshape(12)
-            sb, sc, cb, cc, tb = proto_meta[inst_proto[i]]
-            insti[i] = (sb, sc, cb, cc, tb, int(prim_base[i]), 0, 0)
+            sb, sc, cb, cc, tb, trb = proto_meta[inst_proto[i]]
+            insti[i] = (sb, sc, cb, cc, tb, int(prim_base[i]), trb, 0)
 
     return SceneArrays(
         tri_v0=v0, tri_e1=e1, tri_e2=e2,
@@ -981,6 +998,8 @@ def _compile_instanced(shapes, intersector="bvh", environment=None):
         inst_tris16=inst_tris16,
         inst_pallas_f32=instf,
         inst_pallas_i32=insti,
+        tri_tree=inst_tree,
+        tree_leaf_span=inst_tree_span,
         normals=normals, uvs=uvs, mat_id=mat_id,
         materials=mat_table, textures=tex_table, lights=lights,
         bvh=BVHArrays(**merged),

@@ -51,10 +51,11 @@ def main():
     img_bad = np.asarray(render(bad, sc.camera, cfg, seed=5))
 
     icfg = InverseConfig(
-        iterations=ITERS, learning_rate=0.02, seed=0,
+        iterations=ITERS, learning_rate=0.05, seed=0,
         lr_schedule="cosine",
         spp_ramp=((0.5, 16), (0.85, 32)),
         param_ema=0.98,
+        param_space="log",
     )
     recovered, losses, _ = inverse_render(
         bad, sc.camera, cfg, target, mesh, icfg,
@@ -80,10 +81,10 @@ def main():
 
     with open("gallery/recovery_r5.md", "w") as f:
         f.write("# Cornell albedo+emitter recovery (BASELINE config 4)\n\n")
-        f.write(f"- {RES}x{RES}, depth 3, MIS; Adam lr 0.02 cosine-decayed, "
+        f.write(f"- {RES}x{RES}, depth 3, MIS; Adam (log-space) lr 0.05 cosine-decayed, "
                 f"{ITERS} iterations, spp ramp 4->16 (iter 500) ->32 "
-                f"(iter 850), EMA(0.98) late-iterate averaging; "
-                "1 TPU chip\n")
+                f"(iter 850), EMA(0.98) late-iterate averaging, LOG-space "
+                "parameters; 1 TPU chip\n")
         f.write("- corruption: all texture values scaled by 0.4\n")
         f.write(f"- loss (matched seed): corrupted {float(loss0):.6f} -> "
                 f"recovered {float(loss_end):.6f} "
