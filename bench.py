@@ -121,7 +121,7 @@ def full_suite():
         "",
     ]
 
-    # ---- large terrain meshes (Pallas supercluster-skip) ----------------
+    # ---- large terrain meshes (Pallas ordered tree walk) ----------------
     # The XLA while-loop traversal FAULTS the TPU worker on big scenes
     # (reproduced r3 @522k tris and r4 @522k AND @130k, with a bounded
     # trip count — a libtpu kernel fault, not a hang), so it is excluded
@@ -139,7 +139,7 @@ def full_suite():
         "",
         "| scene | backend | s/frame | M rays/s |",
         "|---|---|---|---|",
-        f"| 522,242 tris | pallas (supercluster-skip) | {t_522:.3f} | "
+        f"| 522,242 tris | pallas (ordered BVH2 tree walk) | {t_522:.3f} | "
         f"{rt / t_522 / 1e6:.1f} |",
         "",
         "- the XLA while-loop backend is excluded on TPU: it faults the "
@@ -180,7 +180,7 @@ def full_suite():
          lambda x: float(jnp.sum(x)), n),
         ("occlude 64k (dense pallas)", occl_fn,
          lambda x: float(jnp.sum(x)), n),
-        ("intersect closest 64k (supercluster pallas, 522k tris)", terr_isect,
+        ("intersect closest 64k (tree pallas, 522k tris)", terr_isect,
          lambda x: float(jnp.sum(x)), n),
         ("full forward render 256^2x4spp", fwd_fn, fetch_img,
          fwd_rays(256, 256, 4, 5)),
@@ -206,7 +206,7 @@ def full_suite():
         "(256x256, 4 spp, depth 5, forward)",
         "",
         f"- intersector resolved: `{big.intersector}` "
-        "(supercluster-skip Pallas)",
+        "(ordered BVH2 tree walk)",
         f"- wall: {big_dt:.3f} s/frame  |  {rt / big_dt / 1e6:.1f} M rays/s "
         "— no worker crash (the r3 >500k-tri failure mode)",
         "",
@@ -245,7 +245,7 @@ def full_suite():
         f"{n_world / 1e6:.2f}M world tris; 256x256, 4 spp, depth 5)",
         "",
         f"- intersector: `{iscene.intersector}` two-level "
-        "(run_instanced kernel), storage "
+        "(run_instanced_tree kernel), storage "
         f"{iscene.tri_v0.shape[0]} shared prototype tris",
         f"- wall: {inst_dt:.3f} s/frame  |  {rt / inst_dt / 1e6:.1f} M rays/s",
         "",
@@ -317,7 +317,11 @@ def full_suite():
         "- see MEMORY/tpu-perf-layout and the r4 commit trail: the padded "
         "[N,3] layouts and scan residuals that dominated r2/r3 are gone).",
         "- History: r2/r3 18.0 M rays/s -> SoA component layout 29.9 M "
-        "-> remat(save-isect) 145.4 M -> small-scene tri tiles 185.7 M.",
+        "-> remat(save-isect) 145.4 M -> small-scene tri tiles 185.7 M "
+        "-> r5 (flagship unchanged; the r5 work moved the LARGE-scene "
+        "asymptote: ordered BVH2 walk + dead-ray culling + adaptive ray "
+        "sort took 522k-tri frames 1.5 -> ~3.2 M rays/s and 2.09M-tri "
+        "frames 0.5 -> ~1.3 M rays/s).",
         "",
     ]
     return lines
