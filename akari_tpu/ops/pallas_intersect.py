@@ -11,8 +11,10 @@ tri_tile) grid where each step tests a [128-tri x 512-ray] block with
 branchless Moeller-Trumbore on the VPU, reducing the running closest hit in
 VMEM. Zero divergence, zero gathers, perfectly coalesced DMA: for small and
 mid scenes this runs at compute speed-of-light and is used by the flagship
-Cornell benchmark. Asymptotics for large scenes come from the cluster-skip
-variant (pallas_cluster.py) and the XLA threaded-BVH fallback.
+Cornell benchmark. Asymptotics for large scenes come from the ordered
+log-depth BVH2 tree walk (pallas_tree.py, the r5 default above
+DENSE_MAX_TRIS); the linear cluster-skip kernels (pallas_cluster.py)
+remain as the instanced fallback, and the XLA threaded BVH serves CPU.
 
 Data layout (round-4 transposed design — see core/v3.py for why):
 **rays on LANES, fields on SUBLANES**. Rays are ``[8, N]`` (rows: ox oy oz
