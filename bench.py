@@ -50,7 +50,13 @@ def primary():
     width = height = 256
     spp = 4
     max_depth = 5
-    cfg = PathConfig(spp=spp, max_depth=max_depth)
+    # unroll=True is the megakernel-style variant (ref keeps the same
+    # choice behind a flag, gpu/cuda/integrator.cpp:409-419): unrolling
+    # the bounce loop lets XLA fuse across bounces and drops the scan's
+    # carry DUS ops — measured r5: 14.9 -> 11.6 ms/step (+29%) at ~2.3x
+    # the compile time. The scan+remat path stays the library default
+    # (compile-time ergonomics at big resolutions/depths).
+    cfg = PathConfig(spp=spp, max_depth=max_depth, unroll=True, remat=False)
 
     sc = cornell_box(width, height)
     scene = jax.device_put(sc.compile(intersector="auto"))
@@ -311,11 +317,17 @@ def full_suite():
         "per ray per bounce plus one 40x26 fat-gather matmul per bounce: "
         "about 0.15 GB of HBM traffic per step against 819 GB/s peak "
         "(~0.2 ms) and ~25 GFLOP of VPU Moeller-Trumbore against ~4 "
-        "TFLOP/s f32 (~6 ms). The measured step sits within ~2.5x of the "
-        "intersection-compute bound; the gap is per-op launch overhead "
-        "(~0.1-0.4 ms floor x ~40 ops/bounce, measured via xprof traces "
-        "- see MEMORY/tpu-perf-layout and the r4 commit trail: the padded "
-        "[N,3] layouts and scan residuals that dominated r2/r3 are gone).",
+        "TFLOP/s f32 (~6 ms). r5 xprof attribution of the 14.9 ms "
+        "scan-mode step: fwd scan 5.6 ms + bwd scan 6.2 ms + ~3.2 ms "
+        "outside; inside a bounce the Pallas launch is 0.46 ms and the "
+        "remaining ~0.65 ms is ~90 small XLA ops (gather matmuls, scan "
+        "carry DUS, elementwise fusions at a ~25 us floor each). "
+        "UNROLLING the bounce loop (the megakernel-mode analog) removes "
+        "the carry DUS and lets XLA fuse across bounces: 14.9 -> 11.6 ms "
+        "(+29%), now within ~1.9x of the ~6 ms intersection-compute "
+        "bound. Closing the rest requires folding the gather+closure+NEE "
+        "chain into the Pallas launch (a hand-written backward kernel) - "
+        "identified, not attempted this round.",
         "- History: r2/r3 18.0 M rays/s -> SoA component layout 29.9 M "
         "-> remat(save-isect) 145.4 M -> small-scene tri tiles 185.7 M "
         "-> r5 (flagship unchanged; the r5 work moved the LARGE-scene "
