@@ -151,3 +151,22 @@ def test_mis_and_nee_converge_to_same_image():
     assert abs(float(img_mis.mean() - img_nee.mean())) < 0.05 * max(
         float(img_mis.mean()), 1e-3
     ) + 0.02
+
+
+def test_unrolled_matches_scan():
+    """PathConfig(unroll=True) — the megakernel-mode variant the r5 bench
+    step uses — must produce the same radiance as the lax.scan wavefront
+    (same per-bounce math; only the program structure differs)."""
+    import dataclasses
+
+    from akari_tpu.scene.builtin import cornell_box
+
+    sc = cornell_box(12, 12)
+    scene = sc.compile(intersector="bvh")
+    cfg = PathConfig(spp=2, max_depth=3)
+    img_scan = np.asarray(render(scene, sc.camera, cfg, seed=0))
+    img_unroll = np.asarray(
+        render(scene, sc.camera,
+               dataclasses.replace(cfg, unroll=True, remat=False), seed=0)
+    )
+    np.testing.assert_allclose(img_scan, img_unroll, rtol=1e-5, atol=1e-6)
