@@ -179,8 +179,8 @@ def _row_of(lo, hi, li, ri, lref, rref, axis):
 
 
 def _tree_kernel(rays_ref, nodes_ref, tris_hbm, out_ref, tri_vmem,
-                 stack_ref, sem, *, n_clusters, leaf_span, any_hit,
-                 stats=False):
+                 stack_ref, pend_ref, sem, *, n_clusters, leaf_span,
+                 any_hit, stats=False):
     """Grid: (n_ray_tiles,). Nodes + rays in VMEM, tris stream from HBM."""
     rays = rays_ref[:]  # [8, R]
     ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
@@ -311,50 +311,70 @@ def _tree_kernel(rays_ref, nodes_ref, tris_hbm, out_ref, tri_vmem,
 
                 @pl.when(k < n_clusters)
                 def _():
-                    # [16, T] HBM store: lane-aligned DMA slice + one
+                    # 1-deep leaf pipeline: consume the PREVIOUS leaf's
+                    # block (its DMA has been in flight across the inner
+                    # pops since it was discovered), then start this
+                    # leaf's DMA and record it as pending — the copy
+                    # overlaps all traversal work until the next leaf
+                    # pops. [16, T] HBM store: lane-aligned DMA slice + a
                     # small [16, 128] transpose in VMEM (a direct
                     # [128, 16] block DMA is impossible: Mosaic requires
                     # 128-aligned minor-dim slices).
+                    _process_pending()
                     dma = pltpu.make_async_copy(
                         tris_hbm.at[:, pl.ds(k * TRI_TILE, TRI_TILE)],
                         tri_vmem, sem,
                     )
                     dma.start()
-                    dma.wait()
-                    tris = jnp.transpose(tri_vmem[:])
-                    for st in range(n_sub):
-
-                        @pl.when(((lmask >> st) & 1) > 0)
-                        def _():
-                            sl = slice(st * 128, (st + 1) * 128)
-                            rb = rays[:, sl]
-                            if any_hit:
-                                hit, _, _, _ = _pairwise_mt_t(
-                                    rb, tris, rb[7:8, :]
-                                )
-                                got = jnp.max(
-                                    hit.astype(jnp.float32), axis=0,
-                                    keepdims=True,
-                                )
-                                out_ref[0:1, sl] = jnp.maximum(
-                                    out_ref[0:1, sl], got
-                                )
-                            else:
-                                out_ref[0:4, sl] = closest_update(
-                                    out_ref[0:4, sl], rb, tris,
-                                    k * TRI_TILE,
-                                )
+                    pend_ref[0] = k
+                    pend_ref[1] = lmask
 
         leaves = leaves + jnp.where(inner, 0, 1)
         if any_hit:
+            # may lag the pending leaf by one — the final drain below
+            # completes the state before any output is read
             done = jnp.all(out_ref[0, :] > 0.0)
         return sp, done, pops, leaves
 
+    def _mt_block(kp, lmask_p):
+        tris = jnp.transpose(tri_vmem[:])
+        for st in range(n_sub):
+
+            @pl.when(((lmask_p >> st) & 1) > 0)
+            def _():
+                sl = slice(st * 128, (st + 1) * 128)
+                rb = rays[:, sl]
+                if any_hit:
+                    hit, _, _, _ = _pairwise_mt_t(rb, tris, rb[7:8, :])
+                    got = jnp.max(
+                        hit.astype(jnp.float32), axis=0, keepdims=True
+                    )
+                    out_ref[0:1, sl] = jnp.maximum(out_ref[0:1, sl], got)
+                else:
+                    out_ref[0:4, sl] = closest_update(
+                        out_ref[0:4, sl], rb, tris, kp * TRI_TILE
+                    )
+
+    def _process_pending():
+        kp = pend_ref[0]
+
+        @pl.when(kp >= 0)
+        def _():
+            pltpu.make_async_copy(
+                tris_hbm.at[:, pl.ds(kp * TRI_TILE, TRI_TILE)],
+                tri_vmem, sem,
+            ).wait()
+            _mt_block(kp, pend_ref[1])
+            pend_ref[0] = -1
+
     stack_ref[0] = jnp.int32(0)
+    pend_ref[0] = jnp.int32(-1)
+    pend_ref[1] = jnp.int32(0)
     _, _, pops, leaves = jax.lax.while_loop(
         cond, body, (jnp.int32(1), jnp.bool_(False), jnp.int32(0),
                      jnp.int32(0))
     )
+    _process_pending()  # drain the last in-flight leaf
     if stats:
         out_ref[base_rows:base_rows + 1, :] = jnp.full(
             (1, RAY_TILE), pops.astype(jnp.float32)
@@ -400,6 +420,7 @@ def run_tree(rays, tris, nodes, any_hit, n_clusters, leaf_span,
         scratch_shapes=[
             pltpu.VMEM((16, TRI_TILE), jnp.float32),
             pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),   # pending leaf (k, subtile mask)
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
