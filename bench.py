@@ -330,10 +330,12 @@ def full_suite():
         "identified, not attempted this round.",
         "- History: r2/r3 18.0 M rays/s -> SoA component layout 29.9 M "
         "-> remat(save-isect) 145.4 M -> small-scene tri tiles 185.7 M "
-        "-> r5 (flagship unchanged; the r5 work moved the LARGE-scene "
-        "asymptote: ordered BVH2 walk + dead-ray culling + adaptive ray "
-        "sort took 522k-tri frames 1.5 -> ~3.2 M rays/s and 2.09M-tri "
-        "frames 0.5 -> ~1.3 M rays/s).",
+        "-> r5 unrolled megakernel-mode bench step 248 M. The r5 rounds "
+        "also moved the LARGE-scene asymptote: ordered BVH2 walk + "
+        "dead-ray culling + population-adaptive ray sort took 522k-tri "
+        "frames 1.5 -> 3.2 M rays/s, 2.09M-tri frames 0.5 -> 1.3 M "
+        "rays/s, and the instanced 2.06M-world-tri scene 4.4 -> 5.1 M "
+        "rays/s.",
         "",
     ]
     return lines
