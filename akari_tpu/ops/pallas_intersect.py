@@ -393,10 +393,13 @@ def intersect_pallas_soa(scene, o, d, t_min, t_max, any_hit=False,
         take = lambda a: jnp.take(a, order)
         o_s = V3(take(o.x), take(o.y), take(o.z))
         d_s = V3(take(d.x), take(d.y), take(d.z))
-        rays, n = _pack_rays_soa(o_s, d_s, take(t_min), take(t_max))
         n_clusters = (int(scene.tri_v0.shape[0]) + TRI_TILE - 1) // TRI_TILE
         if scene.tri_tree is not None:
-            from .pallas_tree import run_tree
+            from .pallas_tree import TREE_RAY_TILE, run_tree
+
+            rays, n = _pack_rays_soa(
+                o_s, d_s, take(t_min), take(t_max), ray_tile=TREE_RAY_TILE
+            )
 
             trees_t = (
                 jnp.asarray(scene.tri_blocks)
@@ -411,6 +414,7 @@ def intersect_pallas_soa(scene, o, d, t_min, t_max, any_hit=False,
         else:
             from .pallas_cluster import run_clustered
 
+            rays, n = _pack_rays_soa(o_s, d_s, take(t_min), take(t_max))
             tris = pack_tris_t(scene.tri_v0, scene.tri_e1, scene.tri_e2)
             out_sorted = run_clustered(
                 rays, tris, jnp.asarray(scene.tri_clusters), supers,

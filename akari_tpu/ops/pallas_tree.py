@@ -59,6 +59,16 @@ from .pallas_intersect import (
     init_state,
 )
 
+# Ray-tile width of the flat tree walk. Wider tiles amortize the serial
+# per-pop scalar work (stack ops, node reads, reduces) over more rays at
+# the cost of slightly less coherent tiles and 2x the vector slab work
+# per pop; subtiles stay 128 rays. Must be a multiple of 128; > 512 uses
+# two bucket-sums per child for the subtile masks (8x8-bit > int32).
+# A/B on the 522k-tri terrain frame (r5): 1024 gained only 1.4% — the
+# extra vector slab work and the second bucket reduce eat the scalar
+# amortization — so 512 stays.
+TREE_RAY_TILE = 512
+
 # SMEM ref stack depth. The builder forces median splits beyond depth 30,
 # so tree depth <= ~30 + log2(n_leaves) and DFS stack depth <= depth + 1.
 STACK_DEPTH = 64
@@ -196,7 +206,7 @@ def _tree_kernel(rays_ref, nodes_ref, tris_hbm, out_ref, tri_vmem,
 
     base_rows = 1 if any_hit else 4
     if any_hit:
-        out_ref[0:1, :] = jnp.zeros((1, RAY_TILE), jnp.float32)
+        out_ref[0:1, :] = jnp.zeros((1, TREE_RAY_TILE), jnp.float32)
     else:
         out_ref[0:4, :] = init_state(rays)
 
@@ -240,21 +250,38 @@ def _tree_kernel(rays_ref, nodes_ref, tris_hbm, out_ref, tri_vmem,
     # the stack entry. Leaf pops then run the dense Moeller-Trumbore only
     # on hit 128-ray subtiles — most leaf clusters are entered by a small
     # fraction of the tile, so this cuts the dominant leaf VPU work 2-4x.
-    n_sub = RAY_TILE // 128
-    sub_id = jax.lax.broadcasted_iota(jnp.int32, (1, RAY_TILE), 1) >> 7
-    sub_w = jnp.int32(1) << (sub_id * 8)
+    n_sub = TREE_RAY_TILE // 128
+    mask_bits = n_sub
+    sub_id = jax.lax.broadcasted_iota(
+        jnp.int32, (1, TREE_RAY_TILE), 1
+    ) >> 7
+    # per-128-ray-subtile hit counts ride bucket sums (8-bit buckets are
+    # exact: counts <= 128); > 4 subtiles need two sums per child.
+    w_all = jnp.int32(1) << ((sub_id % 4) * 8)
+    sub_w_lo = jnp.where(sub_id < 4, w_all, 0)
+    sub_w_hi = jnp.where(sub_id >= 4, w_all, 0)
 
-    def subtile_mask(s):
+    def _decode4(sv):
         m = jnp.int32(0)
-        for j in range(n_sub):
+        for j in range(min(n_sub, 4)):
             m = m | (
-                (((s >> (8 * j)) & 255) > 0).astype(jnp.int32) << j
+                (((sv >> (8 * j)) & 255) > 0).astype(jnp.int32) << j
             )
         return m
 
+    def child_mask(m):
+        s_lo = jnp.sum(m.astype(jnp.int32) * sub_w_lo)
+        if n_sub <= 4:
+            return _decode4(s_lo)
+        s_hi = jnp.sum(m.astype(jnp.int32) * sub_w_hi)
+        return _decode4(s_lo) | (_decode4(s_hi) << 4)
+
     def entry_of(c, mask):
-        # Stack entry: inner = node index; leaf = -(1 + (block<<4 | mask)).
-        return jnp.where(c >= 0, c, -(1 + (((-c - 1) << 4) | mask)))
+        # Stack entry: inner = node index;
+        # leaf = -(1 + (block << mask_bits | mask)).
+        return jnp.where(
+            c >= 0, c, -(1 + (((-c - 1) << mask_bits) | mask))
+        )
 
     def cond(carry):
         sp, done, pops, leaves = carry
@@ -279,10 +306,8 @@ def _tree_kernel(rays_ref, nodes_ref, tris_hbm, out_ref, tri_vmem,
             nodes_ref[nref, 6], nodes_ref[nref, 7], nodes_ref[nref, 8],
             nodes_ref[nref, 9], nodes_ref[nref, 10], nodes_ref[nref, 11], bt,
         )
-        s0 = jnp.sum(m0.astype(jnp.int32) * sub_w)
-        s1 = jnp.sum(m1.astype(jnp.int32) * sub_w)
-        mask0 = subtile_mask(s0)
-        mask1 = subtile_mask(s1)
+        mask0 = child_mask(m0)
+        mask1 = child_mask(m1)
         h0 = mask0 > 0
         h1 = mask1 > 0
         ent0 = entry_of(c0, mask0)
@@ -304,8 +329,8 @@ def _tree_kernel(rays_ref, nodes_ref, tris_hbm, out_ref, tri_vmem,
         @pl.when(jnp.logical_not(inner))
         def _():
             v = -ref - 1
-            blk = v >> 4
-            lmask = v & 15
+            blk = v >> mask_bits
+            lmask = v & ((1 << mask_bits) - 1)
             for j in range(leaf_span):
                 k = blk * leaf_span + j
 
@@ -377,10 +402,10 @@ def _tree_kernel(rays_ref, nodes_ref, tris_hbm, out_ref, tri_vmem,
     _process_pending()  # drain the last in-flight leaf
     if stats:
         out_ref[base_rows:base_rows + 1, :] = jnp.full(
-            (1, RAY_TILE), pops.astype(jnp.float32)
+            (1, TREE_RAY_TILE), pops.astype(jnp.float32)
         )
         out_ref[base_rows + 1:base_rows + 2, :] = jnp.full(
-            (1, RAY_TILE), leaves.astype(jnp.float32)
+            (1, TREE_RAY_TILE), leaves.astype(jnp.float32)
         )
 
 
@@ -396,7 +421,7 @@ def run_tree(rays, tris, nodes, any_hit, n_clusters, leaf_span,
     nodes [Nn, 16] from build_cluster_tree. ``stats=True`` appends two
     output rows: per-tile pop and leaf-visit counts (tuning/diagnostics).
     """
-    n_ray_tiles = rays.shape[1] // RAY_TILE
+    n_ray_tiles = rays.shape[1] // TREE_RAY_TILE
     kernel = functools.partial(
         _tree_kernel, n_clusters=n_clusters, leaf_span=leaf_span,
         any_hit=any_hit, stats=stats,
@@ -406,13 +431,14 @@ def run_tree(rays, tris, nodes, any_hit, n_clusters, leaf_span,
         kernel,
         grid=(n_ray_tiles,),
         in_specs=[
-            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i),
+            pl.BlockSpec((8, TREE_RAY_TILE), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # node table
             pl.BlockSpec(memory_space=pl.ANY),       # tris stay in HBM
         ],
         out_specs=pl.BlockSpec(
-            (out_rows, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM
+            (out_rows, TREE_RAY_TILE), lambda i: (0, i),
+            memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(
             (out_rows, rays.shape[1]), jnp.float32
