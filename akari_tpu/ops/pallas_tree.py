@@ -74,8 +74,11 @@ TREE_RAY_TILE = 512
 STACK_DEPTH = 64
 
 # VMEM budget for the node table (512 B/node under (8,128) tiling).
-# 6 MB => <= 12288 nodes; LEAF_SPAN grows on bigger scenes to stay under.
-NODE_BUDGET_BYTES = 6 * 1024 * 1024
+# 9 MB => <= 18432 nodes; LEAF_SPAN grows on bigger scenes to stay under.
+# Raised from 6 MB in r5 so a 2.09M-tri scene (16.3k clusters) keeps
+# leaf_span=1 (measured +11% vs span 2); the kernel's other VMEM is
+# small (rays + [128,512] MT temps ~2 MB), so ~11 MB total still fits.
+NODE_BUDGET_BYTES = 9 * 1024 * 1024
 _MAX_NODES = NODE_BUDGET_BYTES // 512
 
 # Force median splits below this depth so stack depth stays bounded.
