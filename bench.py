@@ -24,8 +24,12 @@ import sys
 import time
 
 
-def _timeit(fn, fetch, iters, warmup=1):
-    """Amortized wall time per call; ``fetch(result)`` forces completion."""
+def _timeit(fn, fetch, iters, warmup=6):
+    """Amortized wall time per call; ``fetch(result)`` forces completion.
+
+    warmup=6: the axon tunnel runs the first ~5 executions of a fresh
+    executable ~4x slow (measured r5) — earlier rounds' per-stage tables
+    under warmup=1 are inflated by it."""
     for _ in range(max(warmup, 1)):
         fetch(fn())
     t0 = time.perf_counter()
